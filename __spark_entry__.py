@@ -1,38 +1,136 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``  — flagship end-to-end entity-resolution run on the
+sf0.001 driver tables: the flat ``documents`` table is lifted into the
+north-rule spans shape (interleaved text + media spans), then the full
+pipeline (normalize → MinHash-LSH + pHash blocking → salted/capped pair
+generation → vectorized scoring → large-star/small-star connected
+components) emits the entity table.
+
+``queries()`` / ``oracle_sql()`` — operator catalog from SURVEY.md §2.2
+(mediachain_indexer_spark/catalog.py) checked against DuckDB; plus rows-only
+entries for the non-SQL-expressible ER stages (MinHash/LSH blocking,
+candidate pairs, connected components) whose oracles are pytest-side
+(networkx, brute force — tests/).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+
+def _docs_as_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lift the driver's flat documents table into the spans shape
+    (BASELINE.json input_hint): one text span + one derived media span."""
+    from mediachain_indexer_spark.sources.io import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    media_ref = F.concat(
+        F.lit("m:"), F.lpad(F.hex(F.xxhash64("text")), 16, "0")
+    )
+    span = lambda kind, text, ref, off: F.struct(  # noqa: E731
+        F.lit(kind).alias("kind"),
+        text.alias("text"),
+        ref.alias("media_ref"),
+        F.lit(off).cast("int").alias("offset"),
+    )
+    null_s = F.lit(None).cast("string")
+    return d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(
+            span("text", F.col("text"), null_s, 0),
+            span("media", null_s, F.lower(media_ref), 1),
+        ).alias("spans"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from mediachain_indexer_spark.plans.pipeline import run_pipeline
+
+    docs = _docs_as_spans(spark, "/root/testdata/sf0.001")
+    res = run_pipeline(docs)
+    return res.clusters
+
+
+# ---------------------------------------------------------------------------
+# rows-only ER-pipeline entries over the seeded spans corpus (FIXTURES.md §B)
+# ---------------------------------------------------------------------------
+_ER_N_DOCS = 2000
+
+
+def _er_corpus(spark: SparkSession) -> DataFrame:
+    from mediachain_indexer_spark.sources.fixtures import write_corpus
+    from mediachain_indexer_spark.sources.io import read_documents
+
+    paths = write_corpus(os.path.join(_REPO, ".cache", f"fx{_ER_N_DOCS}"), _ER_N_DOCS)
+    return read_documents(spark, paths["spans_documents"])
+
+
+def _er_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mediachain_indexer_spark.operators.normalize import normalize_documents
+
+    return normalize_documents(_er_corpus(spark)).select(
+        "doc_id", "norm_text", "phashes"
+    )
+
+
+def _er_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mediachain_indexer_spark.operators.blocking import build_blocks
+
+    return build_blocks(_er_features(spark, sf_dir))
+
+
+def _er_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mediachain_indexer_spark.operators.pairs import candidate_pairs
+
+    return candidate_pairs(_er_blocks(spark, sf_dir))
+
+
+def _er_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mediachain_indexer_spark.operators.scoring import score_pairs
+
+    return score_pairs(
+        _er_candidate_pairs(spark, sf_dir), _er_features(spark, sf_dir)
+    ).where(F.col("is_match"))
+
+
+def _er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mediachain_indexer_spark.plans.pipeline import run_pipeline
+
+    return run_pipeline(_er_corpus(spark)).clusters
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    from mediachain_indexer_spark import catalog
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q = catalog.queries()
+    q.update(
+        {
+            "er_normalize_features": _er_features,
+            "er_blocks": _er_blocks,
+            "er_candidate_pairs": _er_candidate_pairs,
+            "er_matches": _er_matches,
+            "er_clusters": _er_clusters,
+        }
+    )
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """ANSI-SQL oracles for every SQL-expressible ``queries()`` entry; the
+    er_* pipeline stages are intentionally omitted (MinHash/xxhash64/iterative
+    CC are not DuckDB-expressible) → driver records rows-only checks."""
+    from mediachain_indexer_spark import catalog
+
+    return catalog.oracle_sql()

@@ -1,0 +1,169 @@
+"""Benchmark harness (driver contract: prints ONE JSON line).
+
+Measures:
+- headline operator queries from the catalog on $SPARK_GRAFT_SF_DIR
+  (default /root/testdata/sf0.1);
+- the flagship ER pipeline (normalize → block → pairs → score → cluster) on
+  the seeded spans corpus at bench scale (100k docs), reporting wall time
+  plus candidate-pairs-scored/sec (pairs deduplicated across LSH bands
+  BEFORE counting — BASELINE.md row 2).
+
+Usage:
+    python bench.py                    # full bench, one JSON line to stdout
+    python bench.py --cores 8 --er-only --json-file out.json
+        (used by tools/bench_scaling.py for the N vs 4N evidence)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "100000"))
+
+
+def _corpus_path(n_docs: int) -> dict[str, str]:
+    from mediachain_indexer_spark.sources.fixtures import write_corpus
+
+    return write_corpus(os.path.join(REPO, ".cache", f"fx{n_docs}"), n_docs)
+
+
+def bench_er(spark, n_docs: int) -> dict:
+    """Stage-by-stage timed run: each stage is persisted + counted before the
+    next starts, so every wall number measures exactly one stage's work."""
+    from pyspark.sql import functions as F
+
+    from mediachain_indexer_spark.operators.blocking import build_blocks
+    from mediachain_indexer_spark.operators.cluster import (
+        attach_components,
+        connected_components,
+    )
+    from mediachain_indexer_spark.operators.normalize import normalize_documents
+    from mediachain_indexer_spark.operators.pairs import candidate_pairs
+    from mediachain_indexer_spark.operators.scoring import score_pairs
+    from mediachain_indexer_spark.sources.io import read_documents
+
+    paths = _corpus_path(n_docs)
+    docs = read_documents(spark, paths["spans_documents"])
+
+    t0 = time.monotonic()
+    walls: dict[str, float] = {}
+    counts: dict[str, int] = {}
+
+    def timed(name: str, df):
+        t = time.monotonic()
+        df = df.persist()
+        counts[name] = df.count()
+        walls[name] = round(time.monotonic() - t, 3)
+        return df
+
+    feats = timed(
+        "normalize", normalize_documents(docs).select("doc_id", "norm_text", "phashes")
+    )
+    blocks = timed("block", build_blocks(feats))
+    pairs = timed("pairs", candidate_pairs(blocks))
+    scored = timed("score", score_pairs(pairs, feats))
+    matches = scored.where(F.col("is_match"))
+    n_matches = matches.count()
+    t_c = time.monotonic()
+    clusters = attach_components(docs, connected_components(matches))
+    n_clustered = clusters.count()
+    walls["cluster"] = round(time.monotonic() - t_c, 3)
+    wall = time.monotonic() - t0
+    for df in (feats, blocks, pairs, scored):
+        df.unpersist()
+
+    n_pairs = counts["score"]
+    t_score = walls["score"]
+    return {
+        "n_docs": n_docs,
+        "pairs_scored": n_pairs,
+        "n_matches": n_matches,
+        "n_docs_clustered": n_clustered,
+        "stage_walls": walls,
+        "stage_counts": counts,
+        "score_wall_sec": t_score,
+        "cluster_wall_sec": walls["cluster"],
+        "e2e_wall_sec": round(wall, 3),
+        "pairs_scored_per_sec": round(n_pairs / t_score, 1) if t_score > 0 else None,
+    }
+
+
+HEADLINE = (
+    "agg_pricing_summary",
+    "join_revenue_by_nation",
+    "window_top3_orders_per_customer",
+    "window_tumbling_events_10min",
+    "embedding_cosine_topk",
+    "dedup_exact_by_prefix",
+)
+
+
+def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    from mediachain_indexer_spark import catalog
+
+    qs = catalog.queries()
+    out: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        fn(spark, sf_dir).collect()  # warm (plan + code cache)
+        t0 = time.monotonic()
+        fn(spark, sf_dir).collect()
+        out[name] = round(time.monotonic() - t0, 3)
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
+    ap.add_argument("--er-only", action="store_true")
+    ap.add_argument("--n-docs", type=int, default=BENCH_DOCS)
+    ap.add_argument("--json-file", default=None)
+    args = ap.parse_args()
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    from mediachain_indexer_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="mediachain-indexer-bench",
+        cores=args.cores,
+        shuffle_partitions=args.shuffle_partitions,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries: dict[str, float] = {}
+    if not args.er_only:
+        queries.update(bench_queries(spark, sf_dir))
+    er = bench_er(spark, args.n_docs)
+    queries["er_pipeline_e2e"] = er["e2e_wall_sec"]
+    queries["er_score_stage"] = er["score_wall_sec"]
+    queries["er_cluster_stage"] = er["cluster_wall_sec"]
+
+    result = {
+        "metric": "er_pipeline_e2e_wall",
+        "value": er["e2e_wall_sec"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "er": er,
+        "cores": args.cores or os.environ.get("SPARK_GRAFT_CPUS", "all"),
+    }
+    line = json.dumps(result)
+    print(line)
+    if args.json_file:
+        with open(args.json_file, "w") as f:
+            f.write(line + "\n")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

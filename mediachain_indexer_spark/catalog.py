@@ -1,0 +1,677 @@
+"""Operator catalog: the ``queries()`` / ``oracle_sql()`` surface the driver
+checks against DuckDB (SURVEY.md §2.2 inventory).
+
+Every entry is a pure DataFrame program over the driver tables
+(``load_table``).  Naming contract: every computed column is aliased identically
+in the Spark code and the oracle SQL; doubles are rounded (or computed in
+decimal) so cross-engine value hashes match exactly.
+
+Entries whose physics DuckDB cannot express (xxhash64-based MinHash/LSH,
+iterative connected components, the end-to-end ER pipeline) have no oracle
+and get the driver's rows-only check; their own pytest oracles live in
+tests/ (networkx CC, brute-force blocking recall, scalar Jaro-Winkler).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mediachain_indexer_spark.sources.io import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def reg(fn: QueryFn) -> QueryFn:
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return reg
+
+
+def queries() -> dict[str, QueryFn]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (partial+final hash agg; decimal-exact money math)
+# ---------------------------------------------------------------------------
+@_q(
+    "agg_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(ROUND(AVG(CAST(l_discount AS DECIMAL(18,2))), 6) AS DOUBLE) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2024-06-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2024-06-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_base_price"),
+            F.round(F.avg(F.col("l_discount").cast("decimal(18,2)")), 6)
+            .cast("double")
+            .alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@_q(
+    "agg_distinct_counts",
+    """
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@_q(
+    "agg_rollup_orders",
+    """
+    SELECT COALESCE(o_orderstatus, '<all>') AS status,
+           COALESCE(o_orderpriority, '<all>') AS priority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+            "n",
+            "revenue",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (broadcast dim, multi-way, semi, anti)
+# ---------------------------------------------------------------------------
+@_q(
+    "join_customer_nation_region",
+    """
+    SELECT r.r_name AS region, n.n_name AS nation, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def join_customer_nation_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_acctbal"),
+        )
+    )
+
+
+@_q(
+    "join_revenue_by_nation",
+    """
+    SELECT n.n_name AS nation,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1.0 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY n.n_name
+    """,
+)
+def join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    li = load_table(spark, sf_dir, "lineitem")
+    n = load_table(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1.0) - F.col("l_discount")
+    ).cast("decimal(18,2)")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+@_q(
+    "join_semi_customers_with_open_orders",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+    """,
+)
+def join_semi_customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "O")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@_q(
+    "join_anti_customers_without_orders",
+    """
+    SELECT c_custkey, c_acctbal FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
+        "c_custkey", "c_acctbal"
+    )
+
+
+@_q(
+    "join_range_events_in_order_window",
+    """
+    SELECT o.o_orderkey, COUNT(*) AS n_events
+    FROM orders o
+    JOIN events e ON e.ts >= o.o_orderdate
+                 AND e.ts < o.o_orderdate + INTERVAL 1 DAY
+    WHERE o.o_orderkey % 100 = 0
+    GROUP BY o.o_orderkey
+    """,
+)
+def join_range_events_in_order_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 100 == 0)
+    e = load_table(spark, sf_dir, "events")
+    return (
+        o.join(
+            e,
+            (e["ts"] >= o["o_orderdate"])
+            & (e["ts"] < o["o_orderdate"] + F.expr("INTERVAL 1 DAY")),
+        )
+        .groupBy("o_orderkey")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+@_q(
+    "window_top3_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, rnk FROM (
+      SELECT o_custkey, o_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders) t
+    WHERE rnk <= 3
+    """,
+)
+def window_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        load_table(spark, sf_dir, "orders")
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "rnk")
+    )
+
+
+@_q(
+    "window_running_revenue",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_revenue
+    FROM orders WHERE o_custkey % 50 = 0
+    """,
+)
+def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") % 50 == 0)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .over(w)
+            .cast("double")
+            .alias("running_revenue"),
+        )
+    )
+
+
+@_q(
+    "window_lag_order_gap_days",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(DATEDIFF('day',
+                LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey),
+                o_orderdate) AS BIGINT) AS gap_days
+    FROM orders WHERE o_custkey % 100 = 0
+    """,
+)
+def window_lag_order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_orderdate").over(w)
+    return (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") % 100 == 0)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.datediff(F.col("o_orderdate"), prev).cast("long").alias("gap_days"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits / set ops
+# ---------------------------------------------------------------------------
+@_q(
+    "topk_expensive_parts",
+    """
+    SELECT p_partkey, p_name, p_retailprice FROM part
+    ORDER BY p_retailprice DESC, p_partkey LIMIT 25
+    """,
+)
+def topk_expensive_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "part")
+        .orderBy(F.col("p_retailprice").desc(), "p_partkey")
+        .select("p_partkey", "p_name", "p_retailprice")
+        .limit(25)
+    )
+
+
+@_q(
+    "setop_priority_customers",
+    """
+    (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+     INTERSECT
+     SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+    """,
+)
+def setop_priority_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    urgent = o.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    filled = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    pending = o.where(F.col("o_orderstatus") == "P").select("o_custkey")
+    return urgent.intersect(filled).exceptAll(pending.distinct())
+
+
+@_q(
+    "setop_union_nation_region_names",
+    """
+    SELECT n_name AS name FROM nation
+    UNION
+    SELECT r_name AS name FROM region
+    """,
+)
+def setop_union_nation_region_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation").select(F.col("n_name").alias("name"))
+    r = load_table(spark, sf_dir, "region").select(F.col("r_name").alias("name"))
+    return n.union(r).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions: string / date / JSON
+# ---------------------------------------------------------------------------
+@_q(
+    "string_funcs_part_names",
+    """
+    SELECT p_partkey,
+           LOWER(TRIM(p_name)) AS norm_name,
+           LENGTH(p_name) AS name_len,
+           REGEXP_REPLACE(p_name, '[aeiou]', '', 'g') AS consonants,
+           SUBSTRING(p_brand, 1, 5) AS brand_prefix,
+           LEVENSHTEIN(p_brand, p_type) AS brand_type_lev
+    FROM part WHERE p_partkey % 10 = 0
+    """,
+)
+def string_funcs_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_partkey") % 10 == 0)
+        .select(
+            "p_partkey",
+            F.lower(F.trim(F.col("p_name"))).alias("norm_name"),
+            F.length("p_name").alias("name_len"),
+            F.regexp_replace("p_name", "[aeiou]", "").alias("consonants"),
+            F.substring("p_brand", 1, 5).alias("brand_prefix"),
+            F.levenshtein("p_brand", "p_type").alias("brand_type_lev"),
+        )
+    )
+
+
+@_q(
+    "date_funcs_events_daily",
+    """
+    SELECT STRFTIME(DATE_TRUNC('day', ts), '%Y-%m-%d') AS day,
+           event_type,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def date_funcs_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 4)
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
+@_q(
+    "window_tumbling_events_10min",
+    """
+    SELECT CAST(FLOOR(EPOCH(ts) / 600) * 600 AS BIGINT) AS bucket_start,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def window_tumbling_events_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 10-minute window via Spark's window() operator; the bucket is
+    emitted as epoch seconds so both engines hash the same values."""
+    e = load_table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    return (
+        e.groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("bucket_start"),
+            "n_events",
+            "n_users",
+        )
+    )
+
+
+@_q(
+    "json_extract_events",
+    """
+    SELECT event_id,
+           CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS k_value
+    FROM events WHERE event_id % 25 = 0
+    """,
+)
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_id") % 25 == 0)
+        .select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("long").alias("k_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text-analysis operators over the driver documents table
+# ---------------------------------------------------------------------------
+@_q(
+    "text_token_stats",
+    """
+    SELECT doc_id,
+           LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS n_tokens,
+           LENGTH(text) AS n_chars,
+           CAST(ROUND(CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+                / (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1), 4) AS DOUBLE)
+             AS avg_token_len
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    no_space = F.regexp_replace("text", " ", "")
+    n_tokens = F.length("text") - F.length(no_space) + 1
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        F.round(F.length(no_space).cast("double") / n_tokens, 4)
+        .cast("double")
+        .alias("avg_token_len"),
+    )
+
+
+@_q(
+    "text_quality_score",
+    """
+    SELECT doc_id,
+           (10000 * (LEAST(LENGTH(text), 400) * LENGTH(text)
+                     + 400 * (LENGTH(text) - LENGTH(REPLACE(REPLACE(REPLACE(text,
+                         ' the ', '    '), ' a ', '   '), ' value ', '       ')))))
+           // (800 * LENGTH(text)) AS quality_bp
+    FROM documents
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality score in basis points: 0.5·min(len/400, 1) + 0.5·stopword-mass,
+    evaluated in *exact integer arithmetic* (num/den form + integer division)
+    so Spark and the DuckDB oracle agree bit-for-bit — double rounding at the
+    4th decimal is engine-order-dependent and was flaky."""
+    d = load_table(spark, sf_dir, "documents")
+    stripped = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("text", " the ", "    "), " a ", "   "
+        ),
+        " value ",
+        "       ",
+    )
+    n = F.length("text").cast("long")
+    stop = (F.length("text") - F.length(stripped)).cast("long")
+    return (
+        d.select(
+            "doc_id",
+            (10000 * (F.least(n, F.lit(400)) * n + 400 * stop)).alias("num"),
+            (800 * n).alias("den"),
+        )
+        .withColumn("quality_bp", F.expr("num div den"))
+        .select("doc_id", "quality_bp")
+    )
+
+
+@_q(
+    "text_lang_by_source",
+    """
+    SELECT source, lang, COUNT(*) AS n,
+           CAST(ROUND(AVG(CAST(n_chars AS DOUBLE)), 4) AS DOUBLE) AS avg_chars
+    FROM documents GROUP BY source, lang
+    """,
+)
+def text_lang_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg(F.col("n_chars").cast("double")), 4)
+            .cast("double")
+            .alias("avg_chars"),
+        )
+    )
+
+
+@_q(
+    "text_fingerprint_md5",
+    """
+    SELECT doc_id, MD5(LOWER(TRIM(text))) AS fingerprint FROM documents
+    """,
+)
+def text_fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.lower(F.trim("text"))).alias("fingerprint")
+    )
+
+
+@_q(
+    "dedup_exact_by_prefix",
+    """
+    SELECT prefix, COUNT(*) AS n_docs, MIN(doc_id) AS representative
+    FROM (SELECT doc_id, SUBSTRING(LOWER(text), 1, 40) AS prefix FROM documents) t
+    GROUP BY prefix HAVING COUNT(*) >= 2
+    """,
+)
+def dedup_exact_by_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via hash-groupBy on a normalized key (40-char prefix —
+    the driver corpus has no full-text dupes, prefix groups exercise it)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.substring(F.lower("text"), 1, 40).alias("prefix")
+    )
+    return (
+        d.groupBy("prefix")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("representative"))
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity (array math via higher-order functions)
+# ---------------------------------------------------------------------------
+@_q(
+    "embedding_cosine_topk",
+    """
+    WITH q AS (SELECT LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS qv
+               FROM embeddings WHERE vec_id = 0),
+    c AS (SELECT e.vec_id,
+                 ROUND(
+                   LIST_DOT_PRODUCT(LIST_TRANSFORM(e.embedding, x -> CAST(x AS DOUBLE)), q.qv)
+                   / (SQRT(LIST_DOT_PRODUCT(LIST_TRANSFORM(e.embedding, x -> CAST(x AS DOUBLE)),
+                                            LIST_TRANSFORM(e.embedding, x -> CAST(x AS DOUBLE))))
+                      * SQRT(LIST_DOT_PRODUCT(q.qv, q.qv))), 4) AS cosine
+          FROM embeddings e, q WHERE e.vec_id != 0)
+    SELECT vec_id, cosine FROM c ORDER BY cosine DESC, vec_id LIMIT 20
+    """,
+)
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k against one query vector (the ANN baseline).
+    Dot products via zip_with + aggregate — pure JVM, no UDF."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    e = emb.where(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+    cos = dot(F.col("embedding"), F.col("qv")) / (
+        F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+        * F.sqrt(dot(F.col("qv"), F.col("qv")))
+    )
+    return (
+        e.select("vec_id", F.round(cos, 4).cast("double").alias("cosine"))
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(20)
+    )
+
+
+@_q(
+    "embedding_norm_by_label",
+    """
+    SELECT label,
+           CAST(ROUND(AVG(SQRT(LIST_DOT_PRODUCT(
+                 LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)),
+                 LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE))))), 4) AS DOUBLE)
+             AS avg_l2_norm,
+           COUNT(*) AS n
+    FROM embeddings GROUP BY label
+    """,
+)
+def embedding_norm_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: (x * x).cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return (
+        emb.select("label", norm.alias("l2"))
+        .groupBy("label")
+        .agg(
+            F.round(F.avg("l2"), 4).cast("double").alias("avg_l2_norm"),
+            F.count("*").alias("n"),
+        )
+    )

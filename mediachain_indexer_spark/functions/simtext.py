@@ -1,0 +1,154 @@
+"""Jaro-Winkler similarity — vectorized Arrow ``pandas_udf``.
+
+Parity: the reference reranks candidate pairs with string similarity on
+title/artist plus Hamming distance on perceptual hashes
+(``mediachain/indexer/mc_dedupe.py`` / ``mc_models.py`` pairwise scoring).
+Levenshtein and Hamming stay JVM-side (built-ins); Jaro-Winkler has no Spark
+built-in and no rapidfuzz/jellyfish in this environment, so it is the ONE
+Python crossing in the hot path — an Arrow-batched ``pandas_udf`` whose inner
+loop is bounded by max string length (≤ ``MAXLEN``), with all per-pair work
+done as numpy array ops across the whole batch:
+
+- strings are padded into (batch, MAXLEN) int32 code matrices;
+- the greedy in-window match scan runs once per *character position*
+  (≤ MAXLEN numpy steps), not once per pair;
+- transpositions come from comparing the matched-character sequences, again
+  batch-wide.
+
+The plan must therefore show ``ArrowEvalPython`` — never ``BatchEvalPython``
+(BASELINE.md row 6).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
+
+MAXLEN = 64  # titles/artists; longer strings are truncated (similarity-stable)
+_PAD = -1
+WINKLER_P = 0.1
+WINKLER_MAX_PREFIX = 4
+
+
+def _encode(s: pd.Series) -> np.ndarray:
+    """(n, MAXLEN) int32 char-code matrix, padded with -1."""
+    out = np.full((len(s), MAXLEN), _PAD, dtype=np.int32)
+    for i, v in enumerate(s):
+        if v:
+            codes = np.frombuffer(v[:MAXLEN].encode("utf-32-le"), dtype=np.uint32)
+            out[i, : len(codes)] = codes.astype(np.int32)
+    return out
+
+
+def jaro_winkler_batch(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Vectorized Jaro-Winkler over a batch of string pairs → float64 [0,1]."""
+    a = a.fillna("")
+    b = b.fillna("")
+    A = _encode(a)
+    B = _encode(b)
+    la = (A != _PAD).sum(axis=1)
+    lb = (B != _PAD).sum(axis=1)
+    n = len(a)
+    maxlen = int(max(la.max(initial=0), lb.max(initial=0)))
+
+    # match window per pair: floor(max(la,lb)/2) - 1 (≥ 0)
+    window = np.maximum(np.maximum(la, lb) // 2 - 1, 0)
+
+    used_b = np.zeros((n, maxlen if maxlen else 1), dtype=bool)
+    m = np.zeros(n, dtype=np.int64)  # match count
+    a_seq = np.full((n, maxlen if maxlen else 1), _PAD, dtype=np.int32)
+    b_pos = np.full((n, maxlen if maxlen else 1), maxlen, dtype=np.int32)
+    j_idx = np.arange(maxlen, dtype=np.int64)[None, :]
+
+    for i in range(maxlen):
+        ai = A[:, i]  # (n,)
+        active = (ai != _PAD)
+        if not active.any():
+            break
+        lo = np.maximum(i - window, 0)[:, None]
+        hi = np.minimum(i + window + 1, lb)[:, None]
+        cand = (
+            (B[:, :maxlen] == ai[:, None])
+            & ~used_b
+            & (j_idx >= lo)
+            & (j_idx < hi)
+            & active[:, None]
+        )
+        found = cand.any(axis=1)
+        j_star = cand.argmax(axis=1)
+        rows = np.nonzero(found)[0]
+        used_b[rows, j_star[rows]] = True
+        a_seq[rows, m[rows]] = ai[rows]
+        b_pos[rows, m[rows]] = j_star[rows]
+        m[rows] += 1
+
+    # transpositions: matched a-chars in i-order vs matched b-chars in j-order
+    order = np.argsort(b_pos, axis=1, kind="stable")
+    b_seq = np.take_along_axis(_gather_b(B, b_pos, maxlen), order, axis=1)
+    k_idx = np.arange(maxlen if maxlen else 1)[None, :]
+    valid = k_idx < m[:, None]
+    t = ((a_seq != b_seq) & valid).sum(axis=1) // 2
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mf = m.astype(np.float64)
+        jaro = (mf / la + mf / lb + (mf - t) / mf) / 3.0
+    jaro = np.where(m == 0, 0.0, jaro)
+    both_empty = (la == 0) & (lb == 0)
+    jaro = np.where(both_empty, 1.0, jaro)
+
+    # Winkler prefix boost: ℓ = common prefix length (≤ 4)
+    pl = np.zeros(n, dtype=np.int64)
+    still = np.ones(n, dtype=bool)
+    for i in range(min(WINKLER_MAX_PREFIX, maxlen)):
+        eq = (A[:, i] == B[:, i]) & (A[:, i] != _PAD) & still
+        pl += eq
+        still &= eq
+    jw = jaro + pl * WINKLER_P * (1.0 - jaro)
+    return pd.Series(np.clip(jw, 0.0, 1.0))
+
+
+def _gather_b(B: np.ndarray, b_pos: np.ndarray, maxlen: int) -> np.ndarray:
+    """b-characters at matched positions (PAD where unmatched slot)."""
+    safe = np.minimum(b_pos, maxlen - 1 if maxlen else 0)
+    gathered = np.take_along_axis(B[:, : maxlen if maxlen else 1], safe, axis=1)
+    return np.where(b_pos < maxlen, gathered, _PAD)
+
+
+jaro_winkler = pandas_udf(jaro_winkler_batch, returnType=DoubleType())
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python scalar reference (oracle for tests — FIXTURES.md B5)
+# ---------------------------------------------------------------------------
+def jaro_winkler_ref(s1: str, s2: str) -> float:
+    s1, s2 = (s1 or "")[:MAXLEN], (s2 or "")[:MAXLEN]
+    if not s1 and not s2:
+        return 1.0
+    if not s1 or not s2:
+        return 0.0
+    la, lb = len(s1), len(s2)
+    window = max(max(la, lb) // 2 - 1, 0)
+    used = [False] * lb
+    a_matched, b_matched = [], []
+    for i, ch in enumerate(s1):
+        lo, hi = max(i - window, 0), min(i + window + 1, lb)
+        for j in range(lo, hi):
+            if not used[j] and s2[j] == ch:
+                used[j] = True
+                a_matched.append(ch)
+                b_matched.append(j)
+                break
+    m = len(a_matched)
+    if m == 0:
+        return 0.0
+    b_chars = [s2[j] for j in sorted(b_matched)]
+    t = sum(1 for x, y in zip(a_matched, b_chars) if x != y) // 2
+    jaro = (m / la + m / lb + (m - t) / m) / 3.0
+    pl = 0
+    for x, y in zip(s1, s2):
+        if x != y or pl == WINKLER_MAX_PREFIX:
+            break
+        pl += 1
+    return min(jaro + pl * WINKLER_P * (1.0 - jaro), 1.0)

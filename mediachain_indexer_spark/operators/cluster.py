@@ -1,0 +1,111 @@
+"""Transitive clustering: accepted match edges → connected components.
+
+Parity: the reference runs union-find over accepted pairs in driver memory
+and writes a canonical dupe-cluster id per doc back to ES
+(``mediachain/indexer/mc_dedupe.py``, ``dedupe_reindex``-style batch job).
+A driver-memory union-find caps out at one machine; the Spark-first rebuild
+is the **large-star / small-star** alternating algorithm (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14): O(log n) rounds of
+pure DataFrame joins + min-aggregations, shuffling by node id each round.
+
+Critical scale details:
+
+- ``localCheckpoint(eager=True)`` every round truncates the logical plan —
+  without it round N's plan embeds all N-1 prior joins and the driver dies
+  on plan size (SURVEY.md §7.3);
+- convergence is detected by an order-insensitive (count, hash-sum) edge
+  fingerprint — one tiny aggregate per round, no expensive ``exceptAll``;
+- ids are compared with natural ordering (doc_ids are zero-padded), and the
+  final component id is the component *minimum* — a deterministic canonical
+  id, independent of visit order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to min(N(u) ∪ {u})."""
+    und = edges.select("u", "v").unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = und.groupBy("u").agg(F.min("v").alias("mn"))
+    mins = mins.select("u", F.least("mn", "u").alias("m"))
+    return (
+        und.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient edges large→small; connect all smaller neighbors (and u) to min."""
+    oriented = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).where(F.col("u") != F.col("v"))
+    mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    to_min = (
+        oriented.join(mins, "u")
+        .where(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    u_to_min = mins.select(F.col("u"), F.col("m").alias("v"))
+    return to_min.unionByName(u_to_min).distinct()
+
+
+def _fingerprint(edges: DataFrame) -> tuple[int, int]:
+    # pmod keeps each term < 2^31 so the long sum cannot overflow (ANSI-safe)
+    row = edges.agg(
+        F.count("*").alias("c"),
+        F.coalesce(
+            F.sum(F.pmod(F.xxhash64("u", "v"), F.lit((1 << 31) - 1))), F.lit(0)
+        ).alias("h"),
+    ).collect()[0]
+    return int(row["c"]), int(row["h"])
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """edges(src, dst) → (doc_id, entity_id) for every node in the edge set.
+
+    entity_id = min node id of the component.  Nodes absent from ``edges``
+    (singletons) are the caller's to add — see ``attach_components``.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev = _fingerprint(e)
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        cur = _fingerprint(e)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(f"connected_components: no convergence in {max_iter} iters")
+
+    # converged edge set is a star forest: (member, root) with root < member
+    members = e.select(F.col("u").alias("doc_id"), F.col("v").alias("entity_id"))
+    roots = e.select(F.col("v").alias("doc_id"), F.col("v").alias("entity_id"))
+    return members.unionByName(roots).distinct()
+
+
+def attach_components(all_docs: DataFrame, components: DataFrame) -> DataFrame:
+    """(doc_id) × (doc_id, entity_id) → every doc with an entity id.
+
+    Singletons (docs in no accepted pair) become their own entity — the same
+    canonical-id convention (min doc_id = itself).
+    """
+    return all_docs.select("doc_id").join(components, "doc_id", "left").select(
+        "doc_id", F.coalesce("entity_id", "doc_id").alias("entity_id")
+    )

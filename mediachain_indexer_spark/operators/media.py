@@ -1,0 +1,124 @@
+"""Multimodal column plumbing: opaque binary media + typed metadata.
+
+Parity: the reference attaches a base64 thumbnail to each doc at ingest and
+computes its perceptual hash with PIL + imagehash
+(``mediachain/indexer/mc_ingest.py`` thumbnail handling, ``mc_dedupe.py``
+hash helpers).  This environment has no image/audio libraries, so the DECODE
+step is stubbed (deterministic fake, clearly marked) while everything
+Spark-side — schema, Arrow batch shape, ``mapInPandas`` plumbing,
+partition sizing — is real and tested.
+
+Media table shape:
+
+    media_assets(media_ref string, content binary,
+                 meta struct<mime string, width int, height int, n_bytes long>)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("n_bytes", T.LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+PHASH_RESULT_SCHEMA = "media_ref string, phash long, decode_ok boolean"
+
+
+def _decode_image_stub(content: bytes) -> np.ndarray:
+    """STUB decoder — no PIL/imagehash in this environment.
+
+    Production implementation decodes real image bytes and returns a
+    grayscale 32×32 array for the DCT pHash.  The sandbox stand-in derives a
+    deterministic fake "image" from the bytes so the full Arrow/mapInPandas
+    path is exercised end-to-end with stable outputs.
+    """
+    if content is None:
+        raise NotImplementedError("real image decode requires PIL (prod only)")
+    arr = np.frombuffer(content, dtype=np.uint8)
+    reps = int(np.ceil(1024 / max(len(arr), 1)))
+    return np.tile(arr, reps)[:1024].reshape(32, 32).astype(np.float64)
+
+
+def _phash_of_gray(img: np.ndarray) -> int:
+    """64-bit mean-threshold hash of an 8×8 downsample (dHash-family).
+
+    Pure numpy; deterministic.  With a real decoder this is a faithful
+    average-hash; with the stub decoder it is a deterministic fake with the
+    correct type/shape semantics.
+    """
+    small = img.reshape(8, 4, 8, 4).mean(axis=(1, 3))
+    bits = (small > small.mean()).flatten()
+    out = 0
+    for b in bits:
+        out = (out << 1) | int(b)
+    # to signed 64-bit
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def phash_media_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: (media_ref, content, ...) → (media_ref, phash,
+    decode_ok) — Arrow-batched, vectorized per batch."""
+    for pdf in batches:
+        refs, hashes, oks = [], [], []
+        for ref, content in zip(pdf["media_ref"], pdf["content"]):
+            refs.append(ref)
+            try:
+                img = _decode_image_stub(content)
+                hashes.append(_phash_of_gray(img))
+                oks.append(True)
+            except NotImplementedError:
+                hashes.append(None)
+                oks.append(False)
+        yield pd.DataFrame(
+            {"media_ref": refs, "phash": pd.array(hashes, dtype="Int64"), "decode_ok": oks}
+        )
+
+
+def compute_media_phashes(media: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Distributed media hashing: binary column → 64-bit phash.
+
+    Repartitions by media_ref so hot refs spread evenly; the heavy work runs
+    in Arrow-batched Python with only (media_ref, content) shipped across —
+    metadata columns are pruned before the Python exchange.
+    """
+    slim = media.select("media_ref", "content")
+    if partitions:
+        slim = slim.repartition(partitions, "media_ref")
+    return slim.mapInPandas(phash_media_batches, PHASH_RESULT_SCHEMA)
+
+
+def media_meta_stats(media: DataFrame) -> DataFrame:
+    """Typed-metadata rollup — runs fully JVM-side off the meta struct,
+    never touching the binary payload (column pruning keeps the scan slim)."""
+    return (
+        media.select("meta.mime", "meta.n_bytes")
+        .groupBy("mime")
+        .agg(
+            F.count("*").alias("n_assets"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.avg("n_bytes").alias("avg_bytes"),
+        )
+    )

@@ -1,0 +1,117 @@
+"""Candidate-pair generation: blocks → deduplicated unordered doc pairs.
+
+Parity: the reference materializes candidate groups from ES hash/band term
+buckets and pairs them up in driver memory (``mediachain/indexer/
+mc_dedupe.py`` batch ``dedupe_reindex`` path) — the single-process scaling
+wall this rebuild removes.
+
+Scale design (BASELINE.json north_star, verbatim requirements):
+
+- **size cap before the self-join**: a block of n docs makes n(n-1)/2 pairs;
+  power-law block sizes would melt a reducer.  Blocks are capped at
+  ``max_block_size`` docs, selected deterministically by ``xxhash64(doc_id)``
+  (an unbiased pseudo-random but stable sample — not first-seen order).
+- **salting**: blocks above ``salt_threshold`` are self-joined via a salted
+  triangle decomposition: docs get ``salt = xxhash64(doc_id) mod s``; both
+  sides replicate over the broadcast (g1 ≤ g2) grid, and the join key becomes
+  (block_key, g1, g2) — the one hot key fans out into s(s+1)/2 balanced
+  reducer keys of ≤ (n/s)² work each.
+- **shuffle partitioned by blocking key**: the plain path repartitions on
+  ``block_key`` so co-blocked docs are co-located; AQE skew-join is on as a
+  runtime backstop (session.py).
+- **cross-band dedup BEFORE scoring**: the same pair collides in many bands;
+  ``dropDuplicates`` on the canonical (doc_a < doc_b) pair happens before any
+  scoring so pairs-scored/sec counts real work (BASELINE.md row 2).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class PairsConfig:
+    max_block_size: int = 256
+    salt_threshold: int = 32
+    n_salts: int = 8
+
+
+def _with_block_stats(blocks: DataFrame, cfg: PairsConfig) -> DataFrame:
+    """Attach per-block count + deterministic rank; drop singletons; cap."""
+    w = Window.partitionBy("block_key")
+    w_rank = w.orderBy(F.xxhash64("doc_id"), F.col("doc_id"))
+    return (
+        blocks.withColumn("bsize", F.count("*").over(w))
+        .withColumn("brank", F.row_number().over(w_rank))
+        .where((F.col("bsize") >= 2) & (F.col("brank") <= cfg.max_block_size))
+        # recompute size after the cap so routing below sees capped sizes
+        .withColumn("bsize", F.least(F.col("bsize"), F.lit(cfg.max_block_size)))
+        .drop("brank")
+    )
+
+
+def _plain_pairs(blocks: DataFrame) -> DataFrame:
+    """Equi self-join inside small blocks; strict < gives each pair once."""
+    left = blocks.select("block_key", F.col("doc_id").alias("doc_a"))
+    right = blocks.select("block_key", F.col("doc_id").alias("doc_b"))
+    return (
+        left.repartition("block_key")
+        .join(right, "block_key")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )
+
+
+def _salted_pairs(blocks: DataFrame, cfg: PairsConfig) -> DataFrame:
+    """Triangle-decomposed self-join for oversized blocks."""
+    spark = blocks.sparkSession
+    s = cfg.n_salts
+    grid = spark.createDataFrame(
+        [(g1, g2) for g1 in range(s) for g2 in range(g1, s)], "g1 int, g2 int"
+    )
+    salted = blocks.withColumn(
+        "salt", F.pmod(F.xxhash64("doc_id"), F.lit(s)).cast("int")
+    )
+    left = salted.join(
+        F.broadcast(grid), salted["salt"] == grid["g1"]
+    ).select("block_key", "g1", "g2", F.col("doc_id").alias("doc_a"))
+    right = salted.join(
+        F.broadcast(grid.withColumnRenamed("g2", "r_g2")),
+        salted["salt"] == F.col("r_g2"),
+    ).select(
+        F.col("block_key").alias("r_block_key"),
+        F.col("g1").alias("r_g1"),
+        F.col("r_g2"),
+        F.col("doc_id").alias("doc_b"),
+    )
+    joined = left.join(
+        right,
+        (left["block_key"] == right["r_block_key"])
+        & (left["g1"] == right["r_g1"])
+        & (left["g2"] == right["r_g2"]),
+    )
+    # same-salt cell: strict < once; cross-salt cell (g1<g2): all pairs, each
+    # unordered pair appears in exactly one cell — canonicalize order after.
+    return joined.where(
+        ((F.col("g1") == F.col("g2")) & (F.col("doc_a") < F.col("doc_b")))
+        | (F.col("g1") < F.col("g2"))
+    ).select(
+        F.least("doc_a", "doc_b").alias("doc_a"),
+        F.greatest("doc_a", "doc_b").alias("doc_b"),
+    )
+
+
+def candidate_pairs(blocks: DataFrame, cfg: PairsConfig = PairsConfig()) -> DataFrame:
+    """blocks(block_key, doc_id) → distinct pairs (doc_a < doc_b)."""
+    staged = _with_block_stats(blocks, cfg)
+    small = staged.where(F.col("bsize") <= cfg.salt_threshold).select(
+        "block_key", "doc_id"
+    )
+    big = staged.where(F.col("bsize") > cfg.salt_threshold).select(
+        "block_key", "doc_id"
+    )
+    pairs = _plain_pairs(small).unionByName(_salted_pairs(big, cfg))
+    return pairs.dropDuplicates(["doc_a", "doc_b"])

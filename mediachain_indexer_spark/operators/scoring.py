@@ -1,0 +1,127 @@
+"""Pairwise scoring: candidate pairs → scored edges + accepted matches.
+
+Parity: the reference reranks ES candidates with Hamming distance on
+perceptual hashes plus string similarity on title/artist, then thresholds
+(``mediachain/indexer/mc_dedupe.py`` / ``mc_models.py`` pairwise rerank).
+
+Spark-first split of the work:
+
+- JVM (whole-stage codegen): ``levenshtein`` built-in, min-Hamming between
+  the two docs' phash arrays via nested higher-order ``transform`` +
+  ``bit_count(xor)``, all ratio arithmetic;
+- Python (Arrow-vectorized, the ONLY crossing): Jaro-Winkler pandas_udf
+  (functions/simtext.py).
+
+The two feature joins (pair → doc features, twice) shuffle by doc_id; the
+features relation is a narrow projection of the normalize output, cached by
+the pipeline when reused across stages.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mediachain_indexer_spark.functions.simtext import jaro_winkler
+
+HAMMING_FAR = 64  # sentinel when either side has no media
+
+
+@dataclass(frozen=True)
+class ScoringConfig:
+    # accept iff (min_hamming <= hamming_radius AND text_sim >= text_floor)
+    #         OR text_sim >= text_only_threshold
+    hamming_radius: int = 8
+    text_floor: float = 0.50
+    text_only_threshold: float = 0.96
+
+
+def min_hamming(a_hashes, b_hashes) -> "F.Column":
+    """min over the cross product of two array<long> phash columns (JVM)."""
+    cross = F.flatten(
+        F.transform(
+            a_hashes,
+            lambda x: F.transform(b_hashes, lambda y: F.bit_count(x.bitwiseXOR(y))),
+        )
+    )
+    return F.coalesce(F.array_min(cross), F.lit(HAMMING_FAR)).cast("int")
+
+
+def score_pairs(
+    pairs: DataFrame,
+    features: DataFrame,
+    cfg: ScoringConfig = ScoringConfig(),
+) -> DataFrame:
+    """pairs(doc_a, doc_b) × features(doc_id, norm_text, phashes) → scored.
+
+    Output: (doc_a, doc_b, jw, lev_sim, text_sim, min_hamming, score,
+    is_match).  ``text_sim`` = mean(jw, lev_sim): the average damps the
+    Winkler prefix boost on near-miss titles that share a long prefix, which
+    is exactly where JW alone over-scores.
+    """
+    fa = features.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("norm_text").alias("text_a"),
+        F.col("phashes").alias("phashes_a"),
+    )
+    fb = features.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("norm_text").alias("text_b"),
+        F.col("phashes").alias("phashes_b"),
+    )
+    df = pairs.join(fa, "doc_a").join(fb, "doc_b")
+
+    max_len = F.greatest(F.length("text_a"), F.length("text_b"))
+    lev_sim = F.when(max_len == 0, F.lit(1.0)).otherwise(
+        1.0 - F.levenshtein("text_a", "text_b") / max_len
+    )
+
+    # token-order-insensitive channel: Levenshtein on token-sorted text
+    # (catches "artist — title" vs "title — artist" renditions; pure JVM)
+    def _tok_sorted(c: str) -> "F.Column":
+        return F.concat_ws(" ", F.array_sort(F.split(F.col(c), " ")))
+
+    sa, sb = _tok_sorted("text_a"), _tok_sorted("text_b")
+    smax_len = F.greatest(F.length(sa), F.length(sb))
+    lev_sim_sorted = F.when(smax_len == 0, F.lit(1.0)).otherwise(
+        1.0 - F.levenshtein(sa, sb) / smax_len
+    )
+
+    scored = (
+        df.withColumn("jw", jaro_winkler(F.col("text_a"), F.col("text_b")))
+        .withColumn("lev_sim", lev_sim)
+        .withColumn("lev_sim_sorted", lev_sim_sorted)
+        .withColumn(
+            "text_sim",
+            F.greatest(
+                (F.col("jw") + F.col("lev_sim")) / 2.0, F.col("lev_sim_sorted")
+            ),
+        )
+        .withColumn(
+            "min_hamming", min_hamming(F.col("phashes_a"), F.col("phashes_b"))
+        )
+    )
+    media_sim = 1.0 - F.least(F.col("min_hamming"), F.lit(16)) / 16.0
+    scored = scored.withColumn(
+        "score", 0.6 * F.col("text_sim") + 0.4 * media_sim
+    ).withColumn(
+        "is_match",
+        (
+            (F.col("min_hamming") <= cfg.hamming_radius)
+            & (F.col("text_sim") >= cfg.text_floor)
+        )
+        | (F.col("text_sim") >= cfg.text_only_threshold),
+    )
+    return scored.select(
+        "doc_a",
+        "doc_b",
+        "jw",
+        "lev_sim",
+        "lev_sim_sorted",
+        "text_sim",
+        "min_hamming",
+        "score",
+        "is_match",
+    )

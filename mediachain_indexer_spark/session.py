@@ -1,0 +1,68 @@
+"""SparkSession factory with the engine's standard configuration.
+
+Scale rationale (tuned for a 1000-executor cluster, tested on local[N]):
+
+- AQE on, with skew-join splitting and partition coalescing: the LSH-band
+  self-join has power-law block sizes; AQE splits oversized shuffle
+  partitions at runtime, on top of our explicit salting/size-cap
+  (operators/blocking.py).
+- Arrow everything: the only JVM→Python crossings are Arrow-batched
+  pandas_udfs (Jaro-Winkler) — never row-at-a-time Python.
+- Nested-schema pruning: the blocking stage must read only `spans.text`
+  / `spans.media_ref` leaves out of the interleaved spans struct, not the
+  whole array blob.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(
+    app_name: str = "mediachain-indexer-spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    ``cores=None`` → ``local[$SPARK_GRAFT_CPUS or *]``. On a real cluster the
+    master is taken from the environment (spark-submit); the confs below are
+    master-agnostic.
+    """
+    if cores is None:
+        env_cores = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{env_cores}]" if env_cores else "local[*]"
+    else:
+        master = f"local[{cores}]"
+
+    shuffle = shuffle_partitions or int(
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
+    )
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # --- adaptive execution: runtime re-planning for skew + small shuffles
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # --- shuffle sizing
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        # --- Arrow: vectorized pandas_udf transfer; cap batch memory
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # --- nested column pruning through the spans array<struct>
+        .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
+        # --- deterministic sessions: no timezone surprises in goldens
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

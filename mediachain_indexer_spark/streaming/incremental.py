@@ -1,0 +1,100 @@
+"""Structured Streaming surface: incremental ingest + windowed aggregations.
+
+Parity: the reference ingests incrementally — new dataset records are
+normalized, hashed, and upserted into ES as they arrive
+(``mediachain/indexer/mc_ingest.py`` bulk/streaming ingestion; the
+``/record_dupes`` feedback endpoint of ``mc_web.py`` appends labels).
+Spark-first: a ``readStream → foreachBatch`` micro-batch loop where each
+batch flows through the SAME batch operators (normalize → block vs the
+existing corpus → score → incremental cluster update), plus watermarked
+windowed aggregations for the monitoring/metrics stream.
+
+These functions return *unstarted* streaming DataFrames/queries so callers
+(tests, jobs) control trigger + sink.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Windowed aggregations over an events stream (ts, event_type, user_id, value)
+# ---------------------------------------------------------------------------
+
+
+def events_tumbling_counts(stream: DataFrame, minutes: int = 10) -> DataFrame:
+    """Tumbling-window counts with a 1-hour watermark for late data."""
+    return (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", f"{minutes} minutes").alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def events_sliding_counts(
+    stream: DataFrame, length_min: int = 10, slide_min: int = 5
+) -> DataFrame:
+    """Sliding-window distinct-user counts (approx, for the metrics board)."""
+    return (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", f"{length_min} minutes", f"{slide_min} minutes").alias("w"))
+        .agg(F.approx_count_distinct("user_id").alias("approx_users"))
+        .select(F.col("w.start").alias("window_start"), "approx_users")
+    )
+
+
+def events_session_window(stream: DataFrame, gap_min: int = 30) -> DataFrame:
+    """Session windows per user (gap-based), watermarked."""
+    return (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", f"{gap_min} minutes").alias("w"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def stream_dedup_within_watermark(stream: DataFrame) -> DataFrame:
+    """Stateful streaming dedup on doc_id within the watermark horizon —
+    the streaming analog of the batch dropDuplicates hygiene step."""
+    return stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["doc_id"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedupe ingest (foreachBatch over the batch pipeline)
+# ---------------------------------------------------------------------------
+
+
+def incremental_dedupe_stream(
+    docs_stream: DataFrame,
+    process_batch: Callable[[DataFrame, int], None],
+    checkpoint_dir: str,
+):
+    """Wire a spans-shaped documents stream into the batch pipeline.
+
+    Each micro-batch is handed to ``process_batch(batch_df, batch_id)``; the
+    expected implementation normalizes + blocks the increment against the
+    existing corpus and merges accepted matches into the entity table
+    (MERGE INTO on Iceberg in prod).  Returns the unstarted StreamingQuery
+    builder so the caller picks trigger/output mode.
+    """
+    return (
+        docs_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )

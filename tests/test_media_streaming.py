@@ -1,0 +1,127 @@
+"""Multimodal plumbing (mapInPandas over binary media) + streaming surface."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from mediachain_indexer_spark.operators.media import (
+    MEDIA_SCHEMA,
+    compute_media_phashes,
+    media_meta_stats,
+)
+
+
+def _media_df(spark, n=20):
+    rows = [
+        (
+            f"m{i:04d}",
+            bytes([i % 251]) * (100 + i),
+            {"mime": "image/png" if i % 2 else "image/jpeg", "width": 64,
+             "height": 64, "n_bytes": 100 + i},
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_media_phash_mapinpandas(spark):
+    media = _media_df(spark)
+    out = compute_media_phashes(media, partitions=4)
+    rows = out.collect()
+    assert len(rows) == 20
+    assert all(r["decode_ok"] for r in rows)
+    assert all(isinstance(r["phash"], int) for r in rows)
+    # deterministic across runs
+    again = {r["media_ref"]: r["phash"] for r in compute_media_phashes(media).collect()}
+    assert {r["media_ref"]: r["phash"] for r in rows} == again
+
+
+def test_media_null_content_flagged_not_crashed(spark):
+    rows = [("mref", None, {"mime": "image/png", "width": 1, "height": 1, "n_bytes": 0})]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = compute_media_phashes(media).collect()
+    assert out[0]["decode_ok"] is False and out[0]["phash"] is None
+
+
+def test_media_meta_stats_prunes_binary(spark, tmp_path):
+    _media_df(spark).write.mode("overwrite").parquet(str(tmp_path / "media"))
+    media = spark.read.parquet(str(tmp_path / "media"))
+    stats = media_meta_stats(media)
+    got = {r["mime"]: r["n_assets"] for r in stats.collect()}
+    assert got == {"image/png": 10, "image/jpeg": 10}
+    # binary column must not be read: the parquet ReadSchema excludes it
+    plan = stats._jdf.queryExecution().executedPlan().toString()
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema and all("content" not in ln for ln in read_schema)
+
+
+def test_streaming_tumbling_counts_rate_source(spark):
+    """Drive the streaming surface with the rate source → memory sink."""
+    from mediachain_indexer_spark.streaming.incremental import events_tumbling_counts
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 200).load()
+        .select(
+            F.col("timestamp").alias("ts"),
+            (F.col("value") % 3).cast("string").alias("event_type"),
+        )
+    )
+    q = (
+        events_tumbling_counts(stream, minutes=1)
+        .writeStream.format("memory")
+        .queryName("tumbling_test")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("select * from tumbling_test").collect()
+    finally:
+        q.stop()
+    assert {c for c in ["window_start", "window_end", "event_type", "n_events"]} <= set(
+        spark.sql("select * from tumbling_test").columns
+    )
+    assert len(rows) >= 1
+
+
+def test_streaming_foreachbatch_increment(spark, docs500):
+    """Incremental ingest: micro-batches flow through the batch normalize."""
+    from mediachain_indexer_spark.operators.normalize import normalize_documents
+    from mediachain_indexer_spark.streaming.incremental import incremental_dedupe_stream
+
+    seen = {"rows": 0, "batches": 0}
+
+    def process(batch_df, batch_id):
+        seen["rows"] += normalize_documents(batch_df).count()
+        seen["batches"] += 1
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        stream = (
+            spark.readStream.format("rate").option("rowsPerSecond", 50).load()
+            .select(
+                F.concat(F.lit("s"), F.col("value").cast("string")).alias("doc_id"),
+                F.array(
+                    F.struct(
+                        F.lit("text").alias("kind"),
+                        F.lit("streamed doc").alias("text"),
+                        F.lit(None).cast("string").alias("media_ref"),
+                        F.lit(0).alias("offset"),
+                    )
+                ).alias("spans"),
+            )
+        )
+        q = incremental_dedupe_stream(stream, process, ckpt).start()
+        try:
+            # rate source emits nothing at t=0; poll until rows flow through
+            import time
+
+            for _ in range(20):
+                q.processAllAvailable()
+                if seen["rows"] >= 1:
+                    break
+                time.sleep(0.5)
+        finally:
+            q.stop()
+    assert seen["batches"] >= 1 and seen["rows"] >= 1

@@ -1,0 +1,102 @@
+"""Scaling-efficiency evidence (BASELINE.md row 3; north rule).
+
+No real cluster exists in this sandbox, so the N → 4N executor criterion is
+evidenced by running the SAME ER job on the SAME input at local[8] vs
+local[32] (32 host CPUs), shuffle partitions scaled with cores (64 vs 256)
+so the comparison measures compute scaling, not partition starvation.
+
+Each level runs in its own subprocess (fresh JVM).  Median of `--runs` timed
+runs (first run per level is the warm-up and is discarded unless runs == 1).
+Writes BENCH/BASELINE.md and prints a JSON summary.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+LEVELS = (
+    {"cores": 8, "shuffle": 64},
+    {"cores": 32, "shuffle": 256},
+)
+
+
+def run_level(cores: int, shuffle: int, n_docs: int, runs: int) -> list[dict]:
+    out = []
+    for i in range(runs):
+        jf = os.path.join(REPO, ".cache", f"bench_c{cores}_r{i}.json")
+        cmd = [
+            sys.executable,
+            os.path.join(REPO, "bench.py"),
+            "--cores", str(cores),
+            "--shuffle-partitions", str(shuffle),
+            "--er-only",
+            "--n-docs", str(n_docs),
+            "--json-file", jf,
+        ]
+        subprocess.run(cmd, check=True, cwd=REPO, capture_output=True)
+        with open(jf) as f:
+            out.append(json.loads(f.read())["er"])
+    return out
+
+
+def main() -> None:
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "100000"))
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+    results = {}
+    for lvl in LEVELS:
+        rs = run_level(lvl["cores"], lvl["shuffle"], n_docs, runs + 1)
+        timed = rs[1:] if len(rs) > 1 else rs  # discard warm-up
+        results[lvl["cores"]] = {
+            "all": timed,
+            "median_pairs_per_sec": statistics.median(
+                r["pairs_scored_per_sec"] for r in timed
+            ),
+            "median_e2e_sec": statistics.median(r["e2e_wall_sec"] for r in timed),
+            "median_e2e_throughput": statistics.median(
+                r["n_docs"] / r["e2e_wall_sec"] for r in timed
+            ),
+        }
+
+    t8 = results[8]["median_e2e_throughput"]
+    t32 = results[32]["median_e2e_throughput"]
+    eff = (t32 / t8) / 4 if t8 else 0.0
+    p8 = results[8]["median_pairs_per_sec"]
+    p32 = results[32]["median_pairs_per_sec"]
+    eff_pairs = (p32 / p8) / 4 if p8 else 0.0
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    md = f"""# BENCH/BASELINE — measured scaling evidence
+
+Protocol (BASELINE.md rows 2–3): identical ER job + identical input
+({n_docs:,} seeded spans docs), {runs} timed runs per level after a
+discarded warm-up, run in separate JVMs.
+
+| Level | Cores | shuffle.partitions | median e2e sec | docs/sec | pairs-scored/sec |
+|---|---|---|---|---|---|
+| A | 8  | 64  | {results[8]['median_e2e_sec']:.2f} | {t8:,.0f} | {p8:,.0f} |
+| B | 32 | 256 | {results[32]['median_e2e_sec']:.2f} | {t32:,.0f} | {p32:,.0f} |
+
+**Scaling efficiency (e2e docs/sec): (B/A)/4 = {eff:.3f}**
+**Scaling efficiency (score stage, pairs/sec): (B/A)/4 = {eff_pairs:.3f}**
+Target: ≥ 0.8 (north rule / BASELINE.json).
+
+Raw runs: see `.cache/bench_c*_r*.json`.
+"""
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(md)
+    print(json.dumps({
+        "t8_docs_per_sec": t8, "t32_docs_per_sec": t32,
+        "efficiency_e2e": round(eff, 3),
+        "p8": p8, "p32": p32, "efficiency_pairs": round(eff_pairs, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
