@@ -675,3 +675,267 @@ def embedding_norm_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets / cube
+# ---------------------------------------------------------------------------
+@_q(
+    "agg_cube_status_priority",
+    """
+    SELECT COALESCE(o_orderstatus, '<all>') AS status,
+           COALESCE(o_orderpriority, '<all>') AS priority,
+           COUNT(*) AS n
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+            "n",
+        )
+    )
+
+
+@_q(
+    "date_extract_parts",
+    """
+    SELECT o_orderkey,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+           CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS mo,
+           CAST(EXTRACT(ISODOW FROM o_orderdate) AS INT) AS iso_dow
+    FROM orders WHERE o_orderkey % 500 = 0
+    """,
+)
+def date_extract_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark weekday(): 0=Monday; ISO dow: 1=Monday → +1 aligns the engines
+    return (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 500 == 0)
+        .select(
+            "o_orderkey",
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mo"),
+            (F.weekday("o_orderdate") + 1).cast("int").alias("iso_dow"),
+        )
+    )
+
+
+@_q(
+    "sessionization_gap30",
+    """
+    WITH t AS (
+      SELECT user_id, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events WHERE user_id % 20 = 0
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id,
+           CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM t GROUP BY user_id
+    """,
+)
+def sessionization_gap30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gap > 30 min) via lag + cumulative flags — the
+    SQL-expressible twin of the streaming session_window operator."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        prev_ts.isNull()
+        | (F.col("ts").cast("long") - prev_ts.cast("long") > 1800),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id") % 20 == 0)
+        .withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").cast("long").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup / text-analysis operators (training-data tier)
+# ---------------------------------------------------------------------------
+@_q(
+    "dedup_ngram_jaccard",
+    """
+    WITH d AS (SELECT doc_id, TRIM(REGEXP_REPLACE(LOWER(text),'[^a-z0-9]+',' ','g')) AS t
+               FROM documents WHERE doc_id % 25 = 0),
+    g AS (SELECT doc_id, UNNEST(list_distinct(list_transform(
+            range(1, GREATEST(LENGTH(t)-2,1)+1),
+            i -> SUBSTRING(t, CAST(i AS INT), 3)))) AS gram FROM d),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+              FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id)
+    SELECT i.doc_a, i.doc_b, i.n_common,
+           sa.sz + sb.sz - i.n_common AS n_union,
+           (10000 * i.n_common) // (sa.sz + sb.sz - i.n_common) AS jaccard_bp
+    FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+                 JOIN sizes sb ON sb.doc_id = i.doc_b
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard between all co-gram doc pairs of a sample —
+    exact integer basis points so both engines hash identically."""
+    from mediachain_indexer_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 25 == 0)
+    pairs = ngram_jaccard_pairs(docs, "text", n=3).where(F.col("n_common") >= 1)
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        "n_common",
+        "n_union",
+        F.expr("(10000 * n_common) div n_union").alias("jaccard_bp"),
+    )
+
+
+@_q(
+    "text_lang_id_heuristic",
+    """
+    WITH n AS (SELECT doc_id,
+                 ' ' || TRIM(REGEXP_REPLACE(LOWER(text),'[^a-z0-9]+',' ','g')) || ' ' AS t
+               FROM documents),
+    h AS (SELECT doc_id,
+            (LEN(string_split(t,' the '))-1)+(LEN(string_split(t,' and '))-1)
+            +(LEN(string_split(t,' of '))-1)+(LEN(string_split(t,' a '))-1)
+            +(LEN(string_split(t,' is '))-1) AS hits_en,
+            (LEN(string_split(t,' der '))-1)+(LEN(string_split(t,' und '))-1)
+            +(LEN(string_split(t,' die '))-1)+(LEN(string_split(t,' das '))-1)
+            +(LEN(string_split(t,' ist '))-1) AS hits_de,
+            (LEN(string_split(t,' le '))-1)+(LEN(string_split(t,' la '))-1)
+            +(LEN(string_split(t,' et '))-1)+(LEN(string_split(t,' les '))-1)
+            +(LEN(string_split(t,' est '))-1) AS hits_fr,
+            (LEN(string_split(t,' el '))-1)+(LEN(string_split(t,' la '))-1)
+            +(LEN(string_split(t,' que '))-1)+(LEN(string_split(t,' los '))-1)
+            +(LEN(string_split(t,' es '))-1) AS hits_es
+          FROM n)
+    SELECT doc_id,
+           CASE WHEN GREATEST(hits_en,hits_de,hits_fr,hits_es) <= 0 THEN 'und'
+                WHEN hits_en = GREATEST(hits_en,hits_de,hits_fr,hits_es) THEN 'en'
+                WHEN hits_de = GREATEST(hits_en,hits_de,hits_fr,hits_es) THEN 'de'
+                WHEN hits_fr = GREATEST(hits_en,hits_de,hits_fr,hits_es) THEN 'fr'
+                ELSE 'es' END AS pred_lang,
+           CAST(GREATEST(hits_en,hits_de,hits_fr,hits_es) AS INT) AS marker_hits
+    FROM h
+    """,
+)
+def text_lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mediachain_indexer_spark.operators.textstats import language_id
+
+    out = language_id(load_table(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id", "pred_lang", F.col("marker_hits").cast("int").alias("marker_hits")
+    )
+
+
+@_q(
+    "text_token_counts",
+    """
+    WITH n AS (SELECT doc_id, text,
+                 TRIM(REGEXP_REPLACE(LOWER(text),'[^a-z0-9]+',' ','g')) AS t
+               FROM documents)
+    SELECT doc_id,
+           LEN(string_split(t, ' ')) AS n_tokens,
+           CAST(list_aggregate(list_transform(string_split(t, ' '),
+                s -> GREATEST(CAST(CEIL(LENGTH(s)/4) AS BIGINT), 1)), 'sum')
+                AS BIGINT) AS n_subword_est,
+           LENGTH(text) AS n_chars
+    FROM n
+    """,
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mediachain_indexer_spark.operators.textstats import token_counts
+
+    out = token_counts(load_table(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_subword_est").cast("long").alias("n_subword_est"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+
+
+@_q(
+    "similarity_topk_queries",
+    """
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, ve AS qv FROM v WHERE vec_id < 5),
+    c AS (SELECT q.query_id, v.vec_id AS neighbor_id,
+            ROUND(list_dot_product(v.ve, q.qv)
+                  / (SQRT(list_dot_product(v.ve, v.ve))
+                     * SQRT(list_dot_product(q.qv, q.qv))), 4) AS cosine
+          FROM v, q WHERE v.vec_id != q.query_id),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id) AS rnk
+          FROM c)
+    SELECT query_id, neighbor_id, cosine, rnk FROM r WHERE rnk <= 5
+    """,
+)
+def similarity_topk_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mediachain_indexer_spark.operators.similarity import cosine_topk_bruteforce
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = cosine_topk_bruteforce(
+        emb, emb.where(F.col("vec_id") < 5), k=5, round_digits=4
+    )
+    return out
+
+
+# --- rows-only entries (xxhash64 / LSH / vectorized UDF — not DuckDB-able) --
+@_q("dedup_exact_text_groups")
+def dedup_exact_text_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mediachain_indexer_spark.operators.dedup import exact_duplicates
+
+    d = load_table(spark, sf_dir, "documents")
+    # the driver corpus has unique texts; group on a 12-token prefix instead
+    keyed = d.select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.slice(F.split(F.lower("text"), " "), 1, 12)
+        ).alias("text"),
+    )
+    return exact_duplicates(keyed, "text")
+
+
+@_q("dedup_minhash_pairs_docs")
+def dedup_minhash_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mediachain_indexer_spark.operators.dedup import minhash_near_duplicates
+
+    return minhash_near_duplicates(load_table(spark, sf_dir, "documents"))
+
+
+@_q("dedup_simhash_docs")
+def dedup_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mediachain_indexer_spark.operators.dedup import simhash64
+
+    return simhash64(load_table(spark, sf_dir, "documents"))
+
+
+@_q("similarity_lsh_pairs")
+def similarity_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mediachain_indexer_spark.operators.similarity import cosine_neighbors_lsh
+
+    return cosine_neighbors_lsh(
+        load_table(spark, sf_dir, "embeddings"), dim=64, n_planes=12, min_cosine=0.2
+    )
+
+
+@_q("text_rolling_fingerprint")
+def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mediachain_indexer_spark.operators.textstats import rolling_fingerprint
+
+    return rolling_fingerprint(load_table(spark, sf_dir, "documents"))

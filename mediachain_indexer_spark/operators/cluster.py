@@ -33,11 +33,12 @@ def _large_star(edges: DataFrame) -> DataFrame:
     )
     mins = und.groupBy("u").agg(F.min("v").alias("mn"))
     mins = mins.select("u", F.least("mn", "u").alias("m"))
+    # no distinct here: duplicates are absorbed by small-star's groupBy
+    # (min is duplicate-insensitive) — saves one full shuffle per iteration
     return (
         und.join(mins, "u")
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        .distinct()
     )
 
 
@@ -72,27 +73,52 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 50,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """edges(src, dst) → (doc_id, entity_id) for every node in the edge set.
 
     entity_id = min node id of the component.  Nodes absent from ``edges``
     (singletons) are the caller's to add — see ``attach_components``.
+
+    Latency engineering: the loop is round-trip-bound, not data-bound —
+    each round is a handful of small shuffles whose cost is task-launch
+    latency.  So (a) TWO star-rounds run per convergence check (halves the
+    driver sync points at the cost of at most one extra cheap round), and
+    (b) the loop runs at its own shuffle width — ``max(16, 2×parallelism)``
+    by default instead of a 100TB-sized global setting (conf is restored
+    after).  At real scale pass ``shuffle_partitions`` explicitly.
     """
-    e = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .where(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
+    spark = edges.sparkSession
+    old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    cc_parts = shuffle_partitions or max(
+        16, spark.sparkContext.defaultParallelism * 2
     )
-    prev = _fingerprint(e)
-    for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        cur = _fingerprint(e)
-        if cur == prev:
-            break
-        prev = cur
-    else:
-        raise RuntimeError(f"connected_components: no convergence in {max_iter} iters")
+    spark.conf.set("spark.sql.shuffle.partitions", str(min(int(old_shuffle), cc_parts)))
+    try:
+        # lazy localCheckpoint: the fingerprint aggregate is the action that
+        # materializes it — ONE Spark job per round instead of two
+        e = (
+            edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        prev = _fingerprint(e)
+        converged = False
+        for _ in range(max_iter):
+            e = _small_star(_large_star(e)).localCheckpoint(eager=False)
+            e = _small_star(_large_star(e)).localCheckpoint(eager=False)
+            cur = _fingerprint(e)
+            if cur == prev:
+                converged = True
+                break
+            prev = cur
+        if not converged:
+            raise RuntimeError(
+                f"connected_components: no convergence in {max_iter} iters"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
 
     # converged edge set is a star forest: (member, root) with root < member
     members = e.select(F.col("u").alias("doc_id"), F.col("v").alias("entity_id"))

@@ -1,0 +1,177 @@
+"""Deduplication operator family over flat text tables.
+
+The ER pipeline (normalize→block→score→cluster) is the flagship; these are
+the reusable building blocks a large-scale training-data pipeline needs,
+each expressed as a DataFrame program over ``documents(doc_id, text, ...)``:
+
+- exact dedup         — hash groupBy on a normalized key
+- MinHash near-dup    — shingle → MinHash → LSH band → bucket join
+- SimHash             — 64-bit per-bit majority over token hashes,
+                        Hamming-ball candidates
+- n-gram Jaccard      — exact set similarity on shingle sets (small sets /
+                        verification tier)
+- embedding cosine    — see operators/similarity.py
+
+Parity anchor: the reference's dedupe candidate models
+(``mediachain/indexer/mc_dedupe.py`` baseline = exact hash terms,
+``baseline_ng`` = banded near-dup), generalized from media hashes to text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mediachain_indexer_spark.functions.minhash import make_minhash_udf
+from mediachain_indexer_spark.functions.text import norm_text, tokens
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Groups of docs with identical normalized text.
+
+    Scale: one hash aggregation on a 64-bit key (not the raw text — group by
+    xxhash64 keeps shuffle rows narrow; collisions at 10^12 docs are
+    ~Birthday(1e12, 2^64) ≈ 2.7% chance of ONE collision corpus-wide and the
+    group members carry the text for an exact confirm).
+    """
+    d = docs.select(
+        F.col("doc_id"), F.xxhash64(norm_text(F.col(text_col))).alias("text_key")
+    )
+    return (
+        d.groupBy("text_key")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("representative"),
+            F.sort_array(F.collect_list("doc_id")).alias("members"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+def minhash_near_duplicates(
+    docs: DataFrame,
+    text_col: str = "text",
+    bands: int = 16,
+    rows_per_band: int = 4,
+    shingle_n: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash-LSH banding.
+
+    shingle → MinHash (vectorized Arrow UDF) → band → bucket self-join →
+    distinct pairs.  The same (b, r) S-curve machinery as the ER blocking
+    stage, packaged for flat text tables.
+    """
+    mh = make_minhash_udf(bands * rows_per_band, shingle_n, seed)
+    sig = docs.select(
+        "doc_id", mh(norm_text(F.col(text_col))).alias("sig")
+    ).where(F.col("sig").isNotNull())
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.concat(
+                    b.cast("string"),
+                    F.lit(":"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            "_",
+                            F.slice(
+                                F.col("sig"), b * rows_per_band + 1, rows_per_band
+                            ).cast("array<string>"),
+                        )
+                    ).cast("string"),
+                ),
+            )
+        ).alias("band_key"),
+    )
+    a = banded.select("band_key", F.col("doc_id").alias("doc_a"))
+    b = banded.select("band_key", F.col("doc_id").alias("doc_b"))
+    return (
+        a.repartition("band_key")
+        .join(b, "band_key")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per doc — per-bit majority vote over token hashes.
+
+    Pure JVM: tokens → xxhash64 → explode to (doc, bit, ±1) via a 64-slot
+    sequence → groupBy doc: bit set iff sum of signs > 0.  One explode + one
+    agg; no Python.  Near-dup docs differ in few bits (compare with
+    ``bit_count(a ^ b)``).
+    """
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col(text_col))).alias("tok")
+    ).where(F.length("tok") > 0)
+    h = tok.select("doc_id", F.xxhash64("tok").alias("h"))
+    # static python loop → literal shift amounts (codegen-friendly, and the
+    # pyspark shift helpers only accept int literals anyway)
+    bit_structs = [
+        F.struct(
+            F.lit(i).alias("bit"),
+            F.when(
+                F.shiftrightunsigned(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            )
+            .otherwise(F.lit(-1))
+            .alias("vote"),
+        )
+        for i in range(64)
+    ]
+    bit_votes = h.select(
+        "doc_id", F.explode(F.array(*bit_structs)).alias("bv")
+    ).select("doc_id", F.col("bv.bit").alias("bit"), F.col("bv.vote").alias("vote"))
+    majority = (
+        bit_votes.groupBy("doc_id", "bit")
+        .agg(F.sum("vote").alias("s"))
+        .withColumn("bitval", (F.col("s") > 0).cast("long"))
+    )
+    # SQL shiftleft takes column args (the Python wrapper only takes int)
+    return majority.groupBy("doc_id").agg(
+        F.sum(
+            F.expr("bitval * shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))")
+        ).alias("simhash")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    min_jaccard: float = 0.0,
+) -> DataFrame:
+    """Exact n-gram Jaccard for all pairs of the input (verification tier).
+
+    O(n²) — callers pre-filter to a candidate set (e.g. the output of
+    ``minhash_near_duplicates``) or a small sample; at 10^12 docs this is
+    the *refine* step after LSH blocking, never a full cross join.
+    """
+    grams = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.length(norm_text(F.col(text_col))) - n, F.lit(0)),
+                ),
+                lambda i: norm_text(F.col(text_col)).substr(i + F.lit(1), F.lit(n)),
+            )
+        ).alias("grams"),
+    )
+    a = grams.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga"))
+    b = grams.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb"))
+    pairs = a.crossJoin(b).where(F.col("doc_a") < F.col("doc_b"))
+    inter = F.size(F.array_intersect("ga", "gb"))
+    union = F.size(F.array_union("ga", "gb"))
+    jac = F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        inter.alias("n_common"),
+        union.alias("n_union"),
+        F.round(jac, 4).alias("jaccard"),
+    ).where(F.col("jaccard") >= min_jaccard)

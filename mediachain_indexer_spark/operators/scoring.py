@@ -24,7 +24,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from mediachain_indexer_spark.functions.simtext import jaro_winkler
+from mediachain_indexer_spark.functions.simtext import make_gated_jw
 
 HAMMING_FAR = 64  # sentinel when either side has no media
 
@@ -36,6 +36,11 @@ class ScoringConfig:
     hamming_radius: int = 8
     text_floor: float = 0.50
     text_only_threshold: float = 0.96
+    # fan-out width for the score stage; None → 2 × defaultParallelism.
+    # The upstream pair table is AQE-coalesced to few partitions (it is
+    # byte-small), but scoring is CPU-heavy per row (2× levenshtein O(mn) +
+    # JW batch) — without an explicit repartition most cores idle.
+    score_partitions: int | None = None
 
 
 def min_hamming(a_hashes, b_hashes) -> "F.Column":
@@ -61,6 +66,10 @@ def score_pairs(
     Winkler prefix boost on near-miss titles that share a long prefix, which
     is exactly where JW alone over-scores.
     """
+    n_parts = cfg.score_partitions or (
+        pairs.sparkSession.sparkContext.defaultParallelism * 2
+    )
+    pairs = pairs.repartition(n_parts)
     fa = features.select(
         F.col("doc_id").alias("doc_a"),
         F.col("norm_text").alias("text_a"),
@@ -89,18 +98,34 @@ def score_pairs(
         1.0 - F.levenshtein(sa, sb) / smax_len
     )
 
+    gated_jw = make_gated_jw(
+        cfg.hamming_radius, cfg.text_floor, cfg.text_only_threshold
+    )
     scored = (
-        df.withColumn("jw", jaro_winkler(F.col("text_a"), F.col("text_b")))
-        .withColumn("lev_sim", lev_sim)
+        df.withColumn("lev_sim", lev_sim)
         .withColumn("lev_sim_sorted", lev_sim_sorted)
         .withColumn(
-            "text_sim",
-            F.greatest(
-                (F.col("jw") + F.col("lev_sim")) / 2.0, F.col("lev_sim_sorted")
+            "min_hamming", min_hamming(F.col("phashes_a"), F.col("phashes_b"))
+        )
+        # cascade: JW only where it can flip the decision (null elsewhere)
+        .withColumn(
+            "jw",
+            gated_jw(
+                F.col("text_a"),
+                F.col("text_b"),
+                F.col("lev_sim"),
+                F.col("lev_sim_sorted"),
+                F.col("min_hamming"),
             ),
         )
         .withColumn(
-            "min_hamming", min_hamming(F.col("phashes_a"), F.col("phashes_b"))
+            "text_sim",
+            F.greatest(
+                F.coalesce(
+                    (F.col("jw") + F.col("lev_sim")) / 2.0, F.col("lev_sim")
+                ),
+                F.col("lev_sim_sorted"),
+            ),
         )
     )
     media_sim = 1.0 - F.least(F.col("min_hamming"), F.lit(16)) / 16.0

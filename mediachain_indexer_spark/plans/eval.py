@@ -60,6 +60,52 @@ def pairwise_f1(
     }
 
 
+def grid_search_thresholds(
+    labels: DataFrame,
+    scored: DataFrame,
+    hamming_radii: tuple[int, ...] = (4, 6, 8, 10),
+    text_floors: tuple[float, ...] = (0.4, 0.5, 0.6),
+    text_onlys: tuple[float, ...] = (0.93, 0.96, 0.99),
+) -> list[dict]:
+    """Decision-threshold sweep on already-scored pairs (mc_eval parity).
+
+    One pass: labels join scored once, then every (radius, floor, only)
+    combo is evaluated as a conditional aggregate in a single wide agg —
+    |grid| extra columns, zero extra shuffles or rescoring.  Pair-level F1
+    (pre-clustering) — the cluster step can only merge, so this bounds the
+    pipeline's precision.
+    """
+    j = labels.join(scored, ["doc_a", "doc_b"], "inner")
+    aggs = []
+    combos = []
+    for r in hamming_radii:
+        for fl in text_floors:
+            for to in text_onlys:
+                pred = (
+                    (F.col("min_hamming") <= r) & (F.col("text_sim") >= fl)
+                ) | (F.col("text_sim") >= to)
+                i = len(combos)
+                combos.append({"hamming_radius": r, "text_floor": fl, "text_only": to})
+                aggs.append(
+                    F.sum((F.col("is_match") & pred).cast("long")).alias(f"tp_{i}")
+                )
+                aggs.append(
+                    F.sum((~F.col("is_match") & pred).cast("long")).alias(f"fp_{i}")
+                )
+                aggs.append(
+                    F.sum((F.col("is_match") & ~pred).cast("long")).alias(f"fn_{i}")
+                )
+    row = j.agg(*aggs).collect()[0]
+    out = []
+    for i, combo in enumerate(combos):
+        tp, fp, fn = int(row[f"tp_{i}"]), int(row[f"fp_{i}"]), int(row[f"fn_{i}"])
+        p = tp / (tp + fp) if tp + fp else 1.0
+        r_ = tp / (tp + fn) if tp + fn else 1.0
+        f1 = 2 * p * r_ / (p + r_) if p + r_ else 0.0
+        out.append({**combo, "tp": tp, "fp": fp, "fn": fn, "precision": p, "recall": r_, "f1": f1})
+    return sorted(out, key=lambda d: -d["f1"])
+
+
 def blocking_recall(labels: DataFrame, blocks: DataFrame) -> float:
     """Fraction of labeled TRUE pairs that share ≥1 blocking key."""
     truth = labels.where(F.col("is_match"))

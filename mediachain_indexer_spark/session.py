@@ -53,6 +53,12 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # --- shuffle sizing
         .config("spark.sql.shuffle.partitions", str(shuffle))
+        # --- join strategy: feature/dim relations are small relative to the
+        # pair table; let Spark (and AQE at runtime) flip SMJ → broadcast-hash
+        # up to 128 MB — at 10^12-doc scale the stats exceed this and the
+        # shuffle join is chosen automatically
+        .config("spark.sql.autoBroadcastJoinThreshold", "128m")
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "128m")
         # --- Arrow: vectorized pandas_udf transfer; cap batch memory
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
@@ -60,9 +66,15 @@ def get_spark(
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
         # --- deterministic sessions: no timezone surprises in goldens
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
+    # shuffle spill dir: prefer RAM-backed tmpfs over the shared root disk —
+    # the sandbox analog of the fast local NVMe a real executor would have.
+    # Concurrent shuffle writers on a slow disk anti-scale with core count.
+    shm = "/dev/shm"
+    if os.path.isdir(shm) and os.access(shm, os.W_OK):
+        builder = builder.config("spark.local.dir", os.path.join(shm, "spark-local"))
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -40,27 +40,41 @@ import pyarrow.parquet as pq
 
 SEED = 42
 
-_ADJ = (
-    "golden silver crimson azure emerald misty silent roaring distant frozen "
-    "burning gentle wild ancient modern hidden broken rising falling electric "
-    "velvet hollow sacred lonely radiant shattered quiet stormy pale dusky"
-).split()
-_NOUN = (
-    "river mountain harbor forest skyline mirror lantern horizon garden "
-    "shadow ember canyon meadow island temple voyage anthem whisper thunder "
-    "harvest beacon orchard glacier prairie monsoon aurora labyrinth tide "
-    "sonata reverie"
-).split()
-_FIRST = (
-    "ada bruno carla dmitri elena felix greta hugo iris jonas katya liam "
-    "mara nikolai oona pavel quinn rosa stefan talia umar vera wendell "
-    "xenia yusuf zora"
-).split()
-_LAST = (
-    "almeida bergman castellan duarte eriksson fontaine grimaldi haller "
-    "ivanov jansen kowalski lindgren moreau novak okafor petrov quiroga "
-    "rossi sandoval tanaka ueda vasquez wagner xu yamada zetterberg"
-).split()
+# Vocabulary size matters: with a ~30-word vocab, a 500k-doc corpus plants
+# thousands of DISTINCT entities with near-identical titles, flooding the
+# text-LSH bands with legit-looking junk collisions no real catalog has.
+# Words are generated deterministically from syllables → ~1,700 distinct
+# adjectives/nouns and ~900 names, so cross-entity title collisions occur
+# at realistic rates while planted near-miss negatives stay in control.
+def _mk_vocab(prefixes: str, cores: str, suffixes: str) -> list[str]:
+    return [
+        p + c + s
+        for p in prefixes.split()
+        for c in cores.split()
+        for s in suffixes.split()
+    ]
+
+
+_ADJ = _mk_vocab(
+    "gol sil cri az em mis sto ra qu ve du ho sa lo pa",
+    "den ver m ure ld ty rm di et lv sk llo cr ne le",
+    "ish ing ed en ous al ic ary",
+)[:1700]
+_NOUN = _mk_vocab(
+    "riv moun har for sky mir lan hor gar sha em can mea is tem",
+    "er tain bor est line ror tern izon den dow ber yon dow land ple",
+    "s ia on ine ery et ium ade",
+)[:1700]
+_FIRST = _mk_vocab(
+    "ad br car dmi el fe gre hu ir jo ka li ma ni oo",
+    "a uno la tri ena lix ta go is nas tya am ra kolai na",
+    " e o",
+)[:900]
+_LAST = _mk_vocab(
+    "alme berg caste duar eriks fonta grima hal iva jan kowal lind mor nov oka",
+    "ida man llan te son ine ldi ler nov sen ski gren eau ak for",
+    " sson ez berg",
+)[:900]
 
 _PUNCT_VARIANTS = [" - ", " — ", ": ", " / ", ", "]
 
@@ -334,9 +348,20 @@ def corpus_to_arrow(corpus: Corpus) -> dict[str, pa.Table]:
     }
 
 
-def write_corpus(out_dir: str, n_docs: int, seed: int = SEED) -> dict[str, str]:
-    """Materialize the corpus as parquet; idempotent via a done-marker."""
-    marker = os.path.join(out_dir, f".done-{n_docs}-{seed}")
+def write_corpus(
+    out_dir: str, n_docs: int, seed: int = SEED, rows_per_file: int | None = None
+) -> dict[str, str]:
+    """Materialize the corpus as parquet; idempotent via a done-marker.
+
+    The documents table is written as MULTIPLE part files (directory layout,
+    like any real warehouse table) — a single parquet file would give Spark
+    one input partition and serialize every narrow stage up to the first
+    shuffle, which is exactly the scaling artifact the bench must not have.
+    """
+    if rows_per_file is None:
+        # ≥64 part files above 16k docs → narrow stages can use every core
+        rows_per_file = max(256, n_docs // 64)
+    marker = os.path.join(out_dir, f".done-{n_docs}-{seed}-v3-{rows_per_file}")
     paths = {
         name: os.path.join(out_dir, f"{name}.parquet")
         for name in ("spans_documents", "labeled_pairs", "expected_clusters")
@@ -346,7 +371,19 @@ def write_corpus(out_dir: str, n_docs: int, seed: int = SEED) -> dict[str, str]:
     os.makedirs(out_dir, exist_ok=True)
     tables = corpus_to_arrow(generate_corpus(n_docs, seed))
     for name, tbl in tables.items():
-        pq.write_table(tbl, paths[name])
+        path = paths[name]
+        if name == "spans_documents" and tbl.num_rows > rows_per_file:
+            if os.path.exists(path) and not os.path.isdir(path):
+                os.remove(path)
+            os.makedirs(path, exist_ok=True)
+            n_files = (tbl.num_rows + rows_per_file - 1) // rows_per_file
+            for i in range(n_files):
+                chunk = tbl.slice(i * rows_per_file, rows_per_file)
+                pq.write_table(
+                    chunk, os.path.join(path, f"part-{i:05d}.parquet")
+                )
+        else:
+            pq.write_table(tbl, path)
     with open(marker, "w") as f:
         f.write("ok\n")
     return paths
