@@ -939,3 +939,63 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mediachain_indexer_spark.operators.textstats import rolling_fingerprint
 
     return rolling_fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+@_q(
+    "agg_grouping_sets",
+    """
+    SELECT COALESCE(o_orderstatus, '<all>') AS status,
+           COALESCE(o_orderpriority, '<all>') AS priority,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderstatus, '<all>') AS status,
+               COALESCE(o_orderpriority, '<all>') AS priority,
+               COUNT(*) AS n
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@_q(
+    "window_rank_family",
+    """
+    SELECT o_custkey, o_orderkey,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           CAST(ROUND(PERCENT_RANK() OVER w, 6) AS DOUBLE) AS prnk
+    FROM orders WHERE o_custkey % 100 = 0
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderpriority, o_orderkey)
+    """,
+)
+def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy("o_orderpriority", "o_orderkey")
+    return (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") % 100 == 0)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.round(F.percent_rank().over(w), 6).cast("double").alias("prnk"),
+        )
+    )
+
+
+@_q("agg_approx_distinct_users")
+def agg_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct — rows-only check (DuckDB's approx sketch
+    differs); the exact countDistinct twin is oracle-checked elsewhere."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"))
+    )

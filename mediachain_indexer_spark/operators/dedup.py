@@ -88,9 +88,10 @@ def minhash_near_duplicates(
     )
     a = banded.select("band_key", F.col("doc_id").alias("doc_a"))
     b = banded.select("band_key", F.col("doc_id").alias("doc_b"))
+    # the join shuffles by band_key itself (EnsureRequirements); an explicit
+    # repartition here would just add a redundant exchange
     return (
-        a.repartition("band_key")
-        .join(b, "band_key")
+        a.join(b, "band_key")
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
@@ -100,42 +101,36 @@ def minhash_near_duplicates(
 def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """64-bit SimHash per doc — per-bit majority vote over token hashes.
 
-    Pure JVM: tokens → xxhash64 → explode to (doc, bit, ±1) via a 64-slot
-    sequence → groupBy doc: bit set iff sum of signs > 0.  One explode + one
-    agg; no Python.  Near-dup docs differ in few bits (compare with
-    ``bit_count(a ^ b)``).
+    Pure JVM, shuffle-lean: tokens → xxhash64 → ONE groupBy(doc_id) with 64
+    conditional-sum aggregates (partial aggregation combines map-side), then
+    the 64 majority bits fold into one long.  No row explosion: the naive
+    formulation (explode 64 (bit, vote) rows per token) multiplies shuffle
+    volume 64× — this keeps it at one 64-column row per doc.  Near-dup docs
+    differ in few bits (compare with ``bit_count(a ^ b)``).
     """
     tok = docs.select(
         "doc_id", F.explode(tokens(F.col(text_col))).alias("tok")
     ).where(F.length("tok") > 0)
     h = tok.select("doc_id", F.xxhash64("tok").alias("h"))
-    # static python loop → literal shift amounts (codegen-friendly, and the
-    # pyspark shift helpers only accept int literals anyway)
-    bit_structs = [
-        F.struct(
-            F.lit(i).alias("bit"),
+    votes = [
+        F.sum(
             F.when(
-                F.shiftrightunsigned(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-            )
-            .otherwise(F.lit(-1))
-            .alias("vote"),
-        )
+                F.shiftrightunsigned(F.col("h"), i).bitwiseAND(F.lit(1)) == 1,
+                F.lit(1),
+            ).otherwise(F.lit(-1))
+        ).alias(f"v{i}")
         for i in range(64)
     ]
-    bit_votes = h.select(
-        "doc_id", F.explode(F.array(*bit_structs)).alias("bv")
-    ).select("doc_id", F.col("bv.bit").alias("bit"), F.col("bv.vote").alias("vote"))
-    majority = (
-        bit_votes.groupBy("doc_id", "bit")
-        .agg(F.sum("vote").alias("s"))
-        .withColumn("bitval", (F.col("s") > 0).cast("long"))
-    )
-    # SQL shiftleft takes column args (the Python wrapper only takes int)
-    return majority.groupBy("doc_id").agg(
-        F.sum(
-            F.expr("bitval * shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))")
-        ).alias("simhash")
-    )
+    agg = h.groupBy("doc_id").agg(*votes)
+    sim = F.lit(0).cast("long")
+    for i in range(64):
+        bit = (1 << i) if i < 63 else -(1 << 63)  # bit 63 = sign bit of int64
+        sim = sim.bitwiseOR(
+            F.when(F.col(f"v{i}") > 0, F.lit(bit).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return agg.select("doc_id", sim.alias("simhash"))
 
 
 def ngram_jaccard_pairs(

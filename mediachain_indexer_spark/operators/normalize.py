@@ -24,7 +24,9 @@ _FS = chr(31)  # field separator in the span signature
 _NULL = chr(30)  # null sentinel — cannot appear in real span values
 
 
-def sorted_spans(spans: Column | str = "spans") -> Column:
+def sorted_spans(
+    spans: Column | str = "spans", fields: tuple[str, ...] | set[str] | None = None
+) -> Column:
     """Spans in offset order — array_sort on a struct with offset first.
 
     Sorting struct(offset, kind, text, media_ref) orders by offset (struct
@@ -32,29 +34,27 @@ def sorted_spans(spans: Column | str = "spans") -> Column:
     declared span shape.
     """
     c = F.col(spans) if isinstance(spans, str) else spans
+    present = tuple(fields) if fields is not None else ("kind", "text", "media_ref")
+    tail = [f for f in ("kind", "text", "media_ref") if f in present]
     by_offset = F.array_sort(
         F.transform(
             c,
             lambda s: F.struct(
                 s["offset"].alias("offset"),
-                s["kind"].alias("kind"),
-                s["text"].alias("text"),
-                s["media_ref"].alias("media_ref"),
+                *[s[f].alias(f) for f in tail],
             ),
         )
     )
     return F.transform(
         by_offset,
         lambda s: F.struct(
-            s["kind"].alias("kind"),
-            s["text"].alias("text"),
-            s["media_ref"].alias("media_ref"),
+            *[s[f].alias(f) for f in tail],
             s["offset"].alias("offset"),
         ),
     )
 
 
-def span_signature(spans: Column | str = "spans") -> Column:
+def span_signature(spans: Column | str = "spans") -> Column:  # full shape only
     """Canonical per-row witness of (kind, text, media_ref, order).
 
     Equal signatures ⇔ equal span sequences.  Null-safe: nulls are encoded
@@ -71,6 +71,21 @@ def span_signature(spans: Column | str = "spans") -> Column:
     )
 
 
+def _ordered_values(spans: Column, kind: str, field: str) -> Column:
+    """Values of one span field, offset-ordered, referencing ONLY
+    (kind, offset, <field>) — so nested-schema pruning can drop the other
+    span fields from the parquet scan when a consumer uses just one family
+    (e.g. text blocking never reads media_ref bytes)."""
+    picked = F.transform(
+        F.filter(
+            spans,
+            lambda s: (s["kind"] == F.lit(kind)) & s[field].isNotNull(),
+        ),
+        lambda s: F.struct(s["offset"].alias("o"), s[field].alias("v")),
+    )
+    return F.transform(F.array_sort(picked), lambda p: p["v"])
+
+
 def normalize_documents(df: DataFrame) -> DataFrame:
     """documents(doc_id, spans) → (doc_id, spans, norm_text, phashes).
 
@@ -80,27 +95,30 @@ def normalize_documents(df: DataFrame) -> DataFrame:
     - ``phashes``: array<long> of 64-bit perceptual hashes of the media
       spans, offset order preserved.
 
-    Narrow (no shuffle); nested-schema pruning lets downstream stages that
-    only need ``norm_text`` skip reading media_ref bytes entirely.
+    Narrow (no shuffle).  norm_text and phashes are built through minimal
+    struct(offset, value) projections (not the full span struct), so
+    nested-schema pruning keeps unused span fields out of the scan —
+    asserted by tests/test_plan_quality.py.
     """
-    spans = sorted_spans("spans")
-    text_concat = F.concat_ws(
-        " ",
-        F.transform(
-            F.filter(spans, lambda s: s["kind"] == F.lit("text")),
-            lambda s: s["text"],
-        ),
-    )
-    phashes = F.transform(
-        F.filter(
-            spans,
-            lambda s: (s["kind"] == F.lit("media")) & s["media_ref"].isNotNull(),
-        ),
-        lambda s: phash_of_media_ref(s["media_ref"]),
-    )
+    # schema-aware: a source-pruned scan (io.read_documents spans_fields=…)
+    # may omit span fields entirely — emit empty arrays for missing families
+    span_fields = {f.name for f in df.schema["spans"].dataType.elementType.fields}
+    if "text" in span_fields:
+        text_concat = F.concat_ws(
+            " ", _ordered_values(F.col("spans"), "text", "text")
+        )
+    else:
+        text_concat = F.lit("")
+    if "media_ref" in span_fields:
+        phashes = F.transform(
+            _ordered_values(F.col("spans"), "media", "media_ref"),
+            phash_of_media_ref,
+        )
+    else:
+        phashes = F.array().cast("array<long>")
     return df.select(
         F.col("doc_id"),
-        spans.alias("spans"),
+        sorted_spans("spans", span_fields).alias("spans"),
         norm_text(text_concat).alias("norm_text"),
         phashes.alias("phashes"),
     )

@@ -54,12 +54,17 @@ def _with_block_stats(blocks: DataFrame, cfg: PairsConfig) -> DataFrame:
 
 
 def _plain_pairs(blocks: DataFrame) -> DataFrame:
-    """Equi self-join inside small blocks; strict < gives each pair once."""
+    """Equi self-join inside small blocks; strict < gives each pair once.
+
+    No explicit repartition: the upstream cap-window already hash-partitioned
+    by block_key, the join's distribution requirement reuses that exchange
+    (self-join of one subtree → ReusedExchange), and an explicit
+    ``repartition`` would force a SECOND full shuffle of the block table.
+    """
     left = blocks.select("block_key", F.col("doc_id").alias("doc_a"))
     right = blocks.select("block_key", F.col("doc_id").alias("doc_b"))
     return (
-        left.repartition("block_key")
-        .join(right, "block_key")
+        left.join(right, "block_key")
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
     )

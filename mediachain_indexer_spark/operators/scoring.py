@@ -61,10 +61,15 @@ def score_pairs(
 ) -> DataFrame:
     """pairs(doc_a, doc_b) × features(doc_id, norm_text, phashes) → scored.
 
-    Output: (doc_a, doc_b, jw, lev_sim, text_sim, min_hamming, score,
-    is_match).  ``text_sim`` = mean(jw, lev_sim): the average damps the
-    Winkler prefix boost on near-miss titles that share a long prefix, which
-    is exactly where JW alone over-scores.
+    Output: (doc_a, doc_b, jw, lev_sim, lev_sim_sorted, text_sim,
+    min_hamming, score, is_match).
+
+    ``text_sim`` = max(mean(jw, lev_sim), lev_sim_sorted): the jw/lev
+    average damps the Winkler prefix boost on near-miss titles sharing a
+    long prefix (where JW alone over-scores); the token-sorted Levenshtein
+    channel catches "artist — title" vs "title — artist" renditions.  ``jw``
+    is cascade-gated (functions/simtext.make_gated_jw): null on rows where
+    no jw value could change ``is_match``.
     """
     n_parts = cfg.score_partitions or (
         pairs.sparkSession.sparkContext.defaultParallelism * 2
@@ -82,9 +87,25 @@ def score_pairs(
     )
     df = pairs.join(fa, "doc_a").join(fb, "doc_b")
 
+    # ---- Levenshtein cascade: O(1) length-difference upper bounds gate the
+    # O(m·n) DP.  lev_sim ≤ 1 - |Δlen|/maxlen always, so when the bound
+    # cannot reach any decision threshold the exact value is irrelevant and
+    # the bound itself is emitted.  Decision-invariance:
+    #   · lev_sim matters only via (jw+lev)/2 ≥ τ (needs lev ≥ 2τ-1) or via
+    #     the hamming-radius branch — so compute it iff hamming ≤ radius or
+    #     ub ≥ 2τ-1;
+    #   · lev_sim_sorted matters via text_sim ≥ floor (hamming branch) or
+    #     ≥ τ — compute iff hamming ≤ radius or its ub ≥ τ.
+    # Junk pairs (far media, dissimilar lengths) skip BOTH DPs and the JW.
     max_len = F.greatest(F.length("text_a"), F.length("text_b"))
+    len_gap = F.abs(F.length("text_a") - F.length("text_b"))
+    lev_ub = F.when(max_len == 0, F.lit(1.0)).otherwise(1.0 - len_gap / max_len)
+    in_radius = F.col("min_hamming") <= cfg.hamming_radius
     lev_sim = F.when(max_len == 0, F.lit(1.0)).otherwise(
-        1.0 - F.levenshtein("text_a", "text_b") / max_len
+        F.when(
+            in_radius | (lev_ub >= 2.0 * cfg.text_only_threshold - 1.0),
+            1.0 - F.levenshtein("text_a", "text_b") / max_len,
+        ).otherwise(lev_ub)
     )
 
     # token-order-insensitive channel: Levenshtein on token-sorted text
@@ -94,20 +115,30 @@ def score_pairs(
 
     sa, sb = _tok_sorted("text_a"), _tok_sorted("text_b")
     smax_len = F.greatest(F.length(sa), F.length(sb))
+    slen_gap = F.abs(F.length(sa) - F.length(sb))
+    sorted_ub = F.when(smax_len == 0, F.lit(1.0)).otherwise(
+        1.0 - slen_gap / smax_len
+    )
     lev_sim_sorted = F.when(smax_len == 0, F.lit(1.0)).otherwise(
-        1.0 - F.levenshtein(sa, sb) / smax_len
+        F.when(
+            in_radius | (sorted_ub >= cfg.text_only_threshold),
+            1.0 - F.levenshtein(sa, sb) / smax_len,
+        ).otherwise(sorted_ub)
     )
 
     gated_jw = make_gated_jw(
         cfg.hamming_radius, cfg.text_floor, cfg.text_only_threshold
     )
     scored = (
-        df.withColumn("lev_sim", lev_sim)
-        .withColumn("lev_sim_sorted", lev_sim_sorted)
-        .withColumn(
+        # min_hamming FIRST: the lev cascade conditions reference it
+        df.withColumn(
             "min_hamming", min_hamming(F.col("phashes_a"), F.col("phashes_b"))
         )
-        # cascade: JW only where it can flip the decision (null elsewhere)
+        .withColumn("lev_sim", lev_sim)
+        .withColumn("lev_sim_sorted", lev_sim_sorted)
+        # cascade: JW computed only where it can flip the decision (null
+        # elsewhere).  Single pass — a filter-split union was measured
+        # slower (it recomputes the feature joins per branch).
         .withColumn(
             "jw",
             gated_jw(

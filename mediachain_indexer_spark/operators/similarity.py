@@ -115,11 +115,7 @@ def cosine_neighbors_lsh(
     b = sigs.select(
         "bucket", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
     )
-    pairs = (
-        a.repartition("bucket")
-        .join(b, "bucket")
-        .where(F.col("id_a") < F.col("id_b"))
-    )
+    pairs = a.join(b, "bucket").where(F.col("id_a") < F.col("id_b"))
     cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
     return (
         pairs.select("id_a", "id_b", F.round(cos, 6).alias("cosine"))

@@ -144,13 +144,34 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.schema(DRIVER_SCHEMAS[name]).parquet(path)
 
 
-def read_documents(spark: SparkSession, path: str) -> DataFrame:
+def read_documents(
+    spark: SparkSession,
+    path: str,
+    spans_fields: tuple[str, ...] | None = None,
+) -> DataFrame:
     """Scan a spans-shaped documents table (the pipeline input).
+
+    ``spans_fields`` narrows the span struct AT THE SOURCE — Catalyst's
+    nested-schema pruning cannot see through higher-order-function lambdas
+    (measured: a text-only consumer still scanned media_ref), so a consumer
+    that needs only e.g. ``("kind", "text", "offset")`` passes them here and
+    the parquet reader physically skips the other leaves.
 
     Prod: ``spark.read.format("iceberg").load(table)`` — hidden partitioning
     on ``bucket(N, doc_id)`` so MERGE-back of entity ids is partition-local.
     """
-    return spark.read.schema(SPANS_SCHEMA).parquet(path)
+    schema = SPANS_SCHEMA
+    if spans_fields is not None:
+        span_struct = T.StructType(
+            [f for f in SPAN_STRUCT.fields if f.name in spans_fields]
+        )
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.StringType(), False),
+                T.StructField("spans", T.ArrayType(span_struct), True),
+            ]
+        )
+    return spark.read.schema(schema).parquet(path)
 
 
 def write_documents(df: DataFrame, path: str, mode: str = "overwrite") -> None:

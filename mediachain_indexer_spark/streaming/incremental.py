@@ -52,11 +52,17 @@ def events_sliding_counts(
     )
 
 
-def events_session_window(stream: DataFrame, gap_min: int = 30) -> DataFrame:
-    """Session windows per user (gap-based), watermarked."""
+def events_session_window(
+    stream: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Session windows per user (gap-based), watermarked.
+
+    Session-window aggregations only support APPEND output mode: a session
+    row emits once the watermark passes the session's end.
+    """
     return (
-        stream.withWatermark("ts", "1 hour")
-        .groupBy(F.session_window("ts", f"{gap_min} minutes").alias("w"), F.col("user_id"))
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
         .agg(F.count("*").alias("n_events"))
         .select(
             F.col("w.start").alias("session_start"),

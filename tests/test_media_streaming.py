@@ -86,6 +86,42 @@ def test_streaming_tumbling_counts_rate_source(spark):
     assert len(rows) >= 1
 
 
+def test_streaming_session_window(spark):
+    from mediachain_indexer_spark.streaming.incremental import events_session_window
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 100).load()
+        .select(
+            F.col("timestamp").alias("ts"),
+            F.col("value").alias("user_id"),  # unique → 1-event sessions close fast
+        )
+    )
+    q = (
+        # session aggs support APPEND only; tiny gap/watermark so sessions
+        # close within the test's runtime
+        events_session_window(stream, gap="1 second", watermark="0 seconds")
+        .writeStream.format("memory")
+        .queryName("session_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        import time
+
+        for _ in range(20):
+            q.processAllAvailable()
+            if spark.sql("select * from session_test").count() > 0:
+                break
+            time.sleep(0.5)
+        rows = spark.sql("select * from session_test").collect()
+    finally:
+        q.stop()
+    assert len(rows) >= 1
+    assert set(spark.sql("select * from session_test").columns) == {
+        "session_start", "session_end", "user_id", "n_events",
+    }
+
+
 def test_streaming_foreachbatch_increment(spark, docs500):
     """Incremental ingest: micro-batches flow through the batch normalize."""
     from mediachain_indexer_spark.operators.normalize import normalize_documents
