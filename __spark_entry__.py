@@ -110,6 +110,35 @@ def _er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_pipeline(_er_corpus(spark)).clusters
 
 
+def _er_eval_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row metrics table: pairwise P/R/F1 on labeled pairs at shared
+    blocking keys over the seeded corpus — the north-rule acceptance metric
+    (target F1 ≥ 0.99), surfaced through the driver's rows-only check."""
+    from pyspark.sql import Row
+
+    from mediachain_indexer_spark.plans.eval import pairwise_f1
+    from mediachain_indexer_spark.plans.pipeline import run_pipeline
+    from mediachain_indexer_spark.sources.fixtures import write_corpus
+
+    paths = write_corpus(os.path.join(_REPO, ".cache", f"fx{_ER_N_DOCS}"), _ER_N_DOCS)
+    labels = spark.read.parquet(paths["labeled_pairs"])
+    res = run_pipeline(_er_corpus(spark))
+    m = pairwise_f1(labels, res.blocks, res.clusters)
+    return spark.createDataFrame(
+        [
+            Row(
+                n_eligible=int(m["n_eligible"]),
+                tp=int(m["tp"]),
+                fp=int(m["fp"]),
+                fn=int(m["fn"]),
+                precision=round(float(m["precision"]), 6),
+                recall=round(float(m["recall"]), 6),
+                f1=round(float(m["f1"]), 6),
+            )
+        ]
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     from mediachain_indexer_spark import catalog
@@ -122,6 +151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "er_candidate_pairs": _er_candidate_pairs,
             "er_matches": _er_matches,
             "er_clusters": _er_clusters,
+            "er_eval_f1": _er_eval_f1,
         }
     )
     return q
