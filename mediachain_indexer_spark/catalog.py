@@ -999,3 +999,53 @@ def agg_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"))
     )
+
+
+@_q(
+    "join_asof_purchase_attribution",
+    """
+    WITH p AS (SELECT event_id AS purchase_id, user_id, ts
+               FROM events WHERE event_type = 'purchase' AND event_id % 20 = 0),
+    v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+    cand AS (
+      SELECT p.purchase_id, v.event_id, v.ts,
+             ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+                                ORDER BY v.ts DESC, v.event_id DESC) AS rn
+      FROM p JOIN v ON v.user_id = p.user_id
+                   AND v.ts <= p.ts
+                   AND v.ts >= p.ts - INTERVAL 3 DAY)
+    SELECT purchase_id, event_id AS attributed_view_id,
+           CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS view_epoch
+    FROM cand WHERE rn = 1
+    """,
+)
+def join_asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase attributed to the same user's latest
+    preceding 'view' within 3 days.  The equi key (user_id) carries the
+    shuffle; the time band is a post-join filter — a band join, never a
+    cross product."""
+    e = load_table(spark, sf_dir, "events")
+    p = e.where((F.col("event_type") == "purchase") & (F.col("event_id") % 20 == 0)).select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    v = e.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", F.col("ts").alias("v_ts")
+    )
+    cand = p.join(v, "user_id").where(
+        (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 3 DAY"))
+    )
+    w = Window.partitionBy("purchase_id").orderBy(
+        F.col("v_ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "purchase_id",
+            F.col("event_id").alias("attributed_view_id"),
+            F.unix_timestamp("v_ts").alias("view_epoch"),
+        )
+    )

@@ -73,3 +73,31 @@ def test_lineage_schema_matches_contract(spark):
         ]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_failed_stage_leaves_no_marker_and_recomputes(spark):
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="ckpt-")
+    try:
+        runner = StageRunner(spark, tmp, "runF")
+        calls = {"n": 0}
+
+        def boom():
+            calls["n"] += 1
+            raise RuntimeError("stage blew up")
+
+        import pytest
+
+        with pytest.raises(RuntimeError):
+            runner.run("block", boom, key_col=None)
+        assert not runner.completed("block")
+
+        def ok():
+            calls["n"] += 1
+            return spark.range(3).select(F.col("id").cast("string").alias("block_key"))
+
+        out = StageRunner(spark, tmp, "runF").run("block", ok, key_col="block_key")
+        assert out.count() == 3 and calls["n"] == 2
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -79,3 +79,15 @@ def test_clustering_is_a_partition(spark, docs500):
 def test_empty_edges(spark, n_edges):
     df = spark.createDataFrame([], "doc_a string, doc_b string")
     assert connected_components(df).count() == 0
+
+
+def test_long_path_converges_logarithmically(spark):
+    """5k-node path (worst-case diameter): large-star/small-star must
+    converge in O(log n) rounds, not O(diameter)."""
+    n = 5000
+    edges = [(f"p{i:05d}", f"p{i+1:05d}") for i in range(n - 1)]
+    df = spark.createDataFrame(edges, "doc_a string, doc_b string")
+    comps = connected_components(df, max_iter=20)  # log2(5000) ≈ 12.3
+    got = comps.where("entity_id != 'p00000'").count()
+    assert got == 0
+    assert comps.count() == n

@@ -161,3 +161,37 @@ def test_streaming_foreachbatch_increment(spark, docs500):
         finally:
             q.stop()
     assert seen["batches"] >= 1 and seen["rows"] >= 1
+
+
+def test_stream_dedup_within_watermark(spark):
+    """Duplicate doc_ids within the watermark horizon are dropped."""
+    from mediachain_indexer_spark.streaming.incremental import (
+        stream_dedup_within_watermark,
+    )
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 200).load()
+        .select(
+            F.col("timestamp").alias("ts"),
+            (F.col("value") % 7).cast("string").alias("doc_id"),  # heavy dupes
+        )
+    )
+    q = (
+        stream_dedup_within_watermark(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        import time
+
+        for _ in range(20):
+            q.processAllAvailable()
+            if spark.sql("select * from dedup_test").count() >= 1:
+                break
+            time.sleep(0.5)
+        rows = spark.sql("select doc_id, count(*) c from dedup_test group by doc_id having count(*) > 1").collect()
+    finally:
+        q.stop()
+    assert rows == []  # each doc_id at most once within the watermark
