@@ -82,3 +82,27 @@ def test_pair_generation_partitions_by_block_key(spark, corpus500_paths):
     blocks = build_blocks(normalize_documents(docs).select("doc_id", "norm_text", "phashes"))
     plan = _executed(candidate_pairs(blocks))
     assert "hashpartitioning(block_key" in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Co-located join: two tables bucketed on the same key join with NO
+    shuffle — the bucketing IS the partitioning (Iceberg bucket() in prod)."""
+    from mediachain_indexer_spark.sources.io import write_bucketed
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders = load_table(spark, SF_DIR, "orders")
+        lineitem = load_table(spark, SF_DIR, "lineitem")
+        write_bucketed(orders, "orders_b", "o_orderkey", 8, sorted_by="o_orderkey")
+        write_bucketed(lineitem, "lineitem_b", "l_orderkey", 8, sorted_by="l_orderkey")
+        joined = spark.table("orders_b").join(
+            spark.table("lineitem_b"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        plan = _executed(joined)
+        assert "Exchange" not in plan, plan[:2000]
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "128m")
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
