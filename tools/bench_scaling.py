@@ -27,9 +27,14 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
+# shuffle width is DATA-sized, not core-sized: measured at the 500k-doc
+# input, 128 partitions made the pair shuffle 2× slower than 32 at 16 cores
+# (per-partition task/shuffle-block overhead).  32 ≥ 2×cores at both levels,
+# so neither level is partition-starved and both run the identical plan.
+SHUFFLE = int(os.environ.get("SPARK_GRAFT_SCALE_SHUFFLE", "32"))
 LEVELS = (
-    {"cores": N, "shuffle": N * 8},
-    {"cores": 4 * N, "shuffle": 4 * N * 8},
+    {"cores": N, "shuffle": SHUFFLE},
+    {"cores": 4 * N, "shuffle": SHUFFLE},
 )
 
 
