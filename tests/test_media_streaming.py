@@ -195,3 +195,31 @@ def test_stream_dedup_within_watermark(spark):
     finally:
         q.stop()
     assert rows == []  # each doc_id at most once within the watermark
+
+
+def test_streaming_sliding_counts(spark):
+    from mediachain_indexer_spark.streaming.incremental import events_sliding_counts
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 100).load()
+        .select(F.col("timestamp").alias("ts"), F.col("value").alias("user_id"))
+    )
+    q = (
+        events_sliding_counts(stream, length_min=1, slide_min=1)
+        .writeStream.format("memory")
+        .queryName("sliding_test")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        import time
+
+        for _ in range(20):
+            q.processAllAvailable()
+            if spark.sql("select * from sliding_test").count() > 0:
+                break
+            time.sleep(0.5)
+        rows = spark.sql("select * from sliding_test").collect()
+    finally:
+        q.stop()
+    assert len(rows) >= 1 and all(r["approx_users"] >= 1 for r in rows)
