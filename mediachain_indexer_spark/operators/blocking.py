@@ -12,7 +12,7 @@ generated in one narrow projection + one ``explode``:
 - ``t<b>:`` MinHash-LSH band keys over character-shingle signatures
           (functions/minhash.py) — near-duplicate *text*;
 - ``p<b>:`` perceptual-hash band keys: each 64-bit pHash split into
-          ``PHASH_BANDS`` 16-bit substrings (band 0 is the hash *prefix*
+          ``PHASH_BANDS`` contiguous bit ranges (band 0 is the hash *prefix*
           bucket) — near-duplicate *media* within a small Hamming radius
           collides in ≥1 band unless every differing bit lands in a distinct
           band.
