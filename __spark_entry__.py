@@ -84,6 +84,17 @@ def _er_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _er_normalize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver surface for the normalize stage: the ``phashes`` array is
+    projected to a CSV string — the driver's canonicalizer (pandas
+    sort_values) cannot hash list-typed cells (round-1 err)."""
+    return _er_features(spark, sf_dir).select(
+        "doc_id",
+        "norm_text",
+        F.concat_ws(",", F.col("phashes").cast("array<string>")).alias("phashes_csv"),
+    )
+
+
 def _er_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mediachain_indexer_spark.operators.blocking import build_blocks
 
@@ -146,7 +157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = catalog.queries()
     q.update(
         {
-            "er_normalize_features": _er_features,
+            "er_normalize_features": _er_normalize_features,
             "er_blocks": _er_blocks,
             "er_candidate_pairs": _er_candidate_pairs,
             "er_matches": _er_matches,

@@ -211,38 +211,58 @@ def join_semi_customers_with_open_orders(spark: SparkSession, sf_dir: str) -> Da
     "join_anti_customers_without_orders",
     """
     SELECT c_custkey, c_acctbal FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
     """,
 )
 def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join against the URGENT-order subset: at driver SFs every
+    customer has SOME order (the unfiltered anti join was vacuously empty in
+    round 1), but ~13% have no urgent one — the join logic is actually
+    exercised."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
         "c_custkey", "c_acctbal"
     )
 
 
 @_q(
-    "join_range_events_in_order_window",
+    "join_range_events_after_anchor",
     """
-    SELECT o.o_orderkey, COUNT(*) AS n_events
-    FROM orders o
-    JOIN events e ON e.ts >= o.o_orderdate
-                 AND e.ts < o.o_orderdate + INTERVAL 1 DAY
-    WHERE o.o_orderkey % 100 = 0
-    GROUP BY o.o_orderkey
+    SELECT a.event_id AS anchor_id, COUNT(*) AS n_events
+    FROM events a
+    JOIN events e ON e.ts >= a.ts AND e.ts < a.ts + INTERVAL 15 MINUTE
+    WHERE a.event_id % 500 = 0
+    GROUP BY a.event_id
     """,
 )
-def join_range_events_in_order_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 100 == 0)
+def join_range_events_after_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/range join: events within 15 min after each anchor event.
+
+    Round 1's order-window variant was vacuously empty (orders live in
+    1995–2001, events in 2024 — the predicate never fired); anchoring on the
+    events table itself keeps the pure range predicate AND returns rows.
+    The sampled anchor side is broadcast (BroadcastNestedLoopJoin); the
+    scale path for dense range joins is time-bucket binning (equi-join on
+    the bucket + residual range filter) — see join_asof_purchase_attribution.
+    """
     e = load_table(spark, sf_dir, "events")
+    a = (
+        e.where(F.col("event_id") % 500 == 0)
+        .select(F.col("event_id").alias("anchor_id"), F.col("ts").alias("a_ts"))
+    )
     return (
-        o.join(
+        F.broadcast(a)
+        .join(
             e,
-            (e["ts"] >= o["o_orderdate"])
-            & (e["ts"] < o["o_orderdate"] + F.expr("INTERVAL 1 DAY")),
+            (e["ts"] >= a["a_ts"])
+            & (e["ts"] < a["a_ts"] + F.expr("INTERVAL 15 MINUTE")),
         )
-        .groupBy("o_orderkey")
+        .groupBy("anchor_id")
         .agg(F.count("*").alias("n_events"))
     )
 
@@ -483,6 +503,46 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "map_funcs_event_props",
+    """
+    SELECT event_id,
+           event_type AS etype,
+           CAST(user_id % 10 AS VARCHAR) AS ubucket,
+           2 AS n_keys,
+           'bucket,type' AS keys_csv,
+           CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS k_val
+    FROM events WHERE event_id % 10 = 0
+    """,
+)
+def map_funcs_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType function family (SURVEY §2.2 scalar table): build a
+    map<string,string> per event via map_from_entries, read it back with
+    element_at / map_keys / size, and parse the JSON props into a
+    map<string,long> via from_json + element_at.  The oracle computes the
+    same VALUES directly (DuckDB map functions differ across versions, and
+    the check is value equality, not construction syntax)."""
+    e = load_table(spark, sf_dir, "events").where(F.col("event_id") % 10 == 0)
+    m = F.map_from_entries(
+        F.array(
+            F.struct(F.lit("type").alias("key"), F.col("event_type").alias("value")),
+            F.struct(
+                F.lit("bucket").alias("key"),
+                (F.col("user_id") % 10).cast("string").alias("value"),
+            ),
+        )
+    )
+    props_map = F.from_json("props", "map<string,long>")
+    return e.select(
+        "event_id",
+        F.element_at(m, F.lit("type")).alias("etype"),
+        F.element_at(m, F.lit("bucket")).alias("ubucket"),
+        F.size(m).alias("n_keys"),
+        F.concat_ws(",", F.array_sort(F.map_keys(m))).alias("keys_csv"),
+        F.element_at(props_map, F.lit("k")).alias("k_val"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text-analysis operators over the driver documents table
 # ---------------------------------------------------------------------------
@@ -623,22 +683,15 @@ def dedup_exact_by_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k against one query vector (the ANN baseline).
-    Dot products via zip_with + aggregate — pure JVM, no UDF."""
+    Cosine via the numpy Arrow kernel (functions/vecmath.py) — float64
+    upcast before multiply, matching the oracle's LIST_TRANSFORM cast;
+    round 1's interpreted zip_with/aggregate HOF was ~7× slower at 64-dim."""
+    from mediachain_indexer_spark.functions.vecmath import cosine_batch
+
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
-
-    def dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
     e = emb.where(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
-    cos = dot(F.col("embedding"), F.col("qv")) / (
-        F.sqrt(dot(F.col("embedding"), F.col("embedding")))
-        * F.sqrt(dot(F.col("qv"), F.col("qv")))
-    )
+    cos = cosine_batch(F.col("embedding"), F.col("qv"))
     return (
         e.select("vec_id", F.round(cos, 4).cast("double").alias("cosine"))
         .orderBy(F.col("cosine").desc(), "vec_id")
@@ -659,14 +712,10 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def embedding_norm_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mediachain_indexer_spark.functions.vecmath import norm_batch
+
     emb = load_table(spark, sf_dir, "embeddings")
-    norm = F.sqrt(
-        F.aggregate(
-            F.transform("embedding", lambda x: (x * x).cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-    )
+    norm = norm_batch(F.col("embedding"))
     return (
         emb.select("label", norm.alias("l2"))
         .groupBy("label")
@@ -747,9 +796,12 @@ def sessionization_gap30(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL-expressible twin of the streaming session_window operator."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev_ts = F.lag("ts").over(w)
+    # full microsecond precision: the oracle compares ts - LAG(ts) > INTERVAL
+    # 30 MINUTE exactly; cast('long') truncates to whole seconds and diverges
+    # on gaps within 1s of the 1800s boundary (events carry µs timestamps)
     new_session = F.when(
         prev_ts.isNull()
-        | (F.col("ts").cast("long") - prev_ts.cast("long") > 1800),
+        | (F.unix_micros("ts") - F.unix_micros(prev_ts) > 1800 * 1_000_000),
         F.lit(1),
     ).otherwise(F.lit(0))
     return (
@@ -908,7 +960,14 @@ def dedup_exact_text_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ", F.slice(F.split(F.lower("text"), " "), 1, 12)
         ).alias("text"),
     )
-    return exact_duplicates(keyed, "text")
+    # members → CSV string: the driver canonicalizer can't hash list cells
+    out = exact_duplicates(keyed, "text")
+    return out.select(
+        "text_key",
+        "n_docs",
+        "representative",
+        F.concat_ws(",", F.col("members").cast("array<string>")).alias("members_csv"),
+    )
 
 
 @_q("dedup_minhash_pairs_docs")

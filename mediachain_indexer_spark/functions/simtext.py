@@ -158,7 +158,15 @@ def make_gated_jw(hamming_radius: int, text_floor: float, text_only: float):
             out.iloc[idx] = vals.to_numpy()
         return out
 
-    return pandas_udf(gated, returnType=DoubleType())
+    # .asNondeterministic(): the UDF IS deterministic in fact, but the marker
+    # is the standard barrier against CollapseProject / filter pushdown.
+    # Without it, a consumer like score_pairs(...).where("is_match") lets
+    # Catalyst inline is_match → text_sim → gated(...) into a pushed-down
+    # join filter that ExtractPythonUDFs cannot lift, and whole-stage codegen
+    # dies with INTERNAL_ERROR "Cannot evaluate expression: gated(...)"
+    # (round-1 driver failure on er_matches; regression: tests/test_simtext.py
+    # ::test_filter_unpersisted_scores).
+    return pandas_udf(gated, returnType=DoubleType()).asNondeterministic()
 
 
 # ---------------------------------------------------------------------------

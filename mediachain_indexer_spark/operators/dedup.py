@@ -26,23 +26,42 @@ from mediachain_indexer_spark.functions.minhash import make_minhash_udf
 from mediachain_indexer_spark.functions.text import norm_text, tokens
 
 
-def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def exact_duplicates(
+    docs: DataFrame, text_col: str = "text", max_members: int = 1000
+) -> DataFrame:
     """Groups of docs with identical normalized text.
 
     Scale: one hash aggregation on a 64-bit key (not the raw text — group by
     xxhash64 keeps shuffle rows narrow; collisions at 10^12 docs are
     ~Birthday(1e12, 2^64) ≈ 2.7% chance of ONE collision corpus-wide and the
     group members carry the text for an exact confirm).
+
+    ``members`` is capped at ``max_members`` per group *inside the
+    aggregation buffer*: a web-scale mega-group (empty strings, boilerplate —
+    easily 10^7 copies) would otherwise concentrate every member in one
+    reducer's collect_list.  A row_number window ranks members first (the
+    window and the groupBy share the same hashpartitioning(text_key), so
+    EnsureRequirements inserts ONE exchange and the window's sort spills
+    instead of ballooning an agg buffer); collect_list then only ever sees
+    ≤ max_members non-null values per group.  ``n_docs`` stays exact.
     """
+    from pyspark.sql import Window
+
     d = docs.select(
         F.col("doc_id"), F.xxhash64(norm_text(F.col(text_col))).alias("text_key")
     )
+    rn = F.row_number().over(Window.partitionBy("text_key").orderBy("doc_id"))
     return (
-        d.groupBy("text_key")
+        d.withColumn("rn", rn)
+        .groupBy("text_key")
         .agg(
             F.count("*").alias("n_docs"),
             F.min("doc_id").alias("representative"),
-            F.sort_array(F.collect_list("doc_id")).alias("members"),
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("rn") <= max_members, F.col("doc_id"))
+                )
+            ).alias("members"),
         )
         .where(F.col("n_docs") >= 2)
     )
@@ -138,12 +157,21 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     min_jaccard: float = 0.0,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard for all pairs of the input (verification tier).
+    """Exact n-gram Jaccard between every doc pair sharing ≥ 1 gram.
 
-    O(n²) — callers pre-filter to a candidate set (e.g. the output of
-    ``minhash_near_duplicates``) or a small sample; at 10^12 docs this is
-    the *refine* step after LSH blocking, never a full cross join.
+    Scale shape (co-gram equi-join, never a cross join): explode the distinct
+    gram set per doc → self-equi-join on the gram → count common grams per
+    pair → join per-doc set sizes → |A∩B| / (|A|+|B|−|A∩B|).  The shuffle is
+    partitioned by gram; pairs with NO shared gram are never materialized
+    (their Jaccard is 0, so they can't pass any positive threshold — callers
+    wanting explicit zero rows must cross-join a candidate list themselves).
+
+    ``max_doc_freq``: at web scale a stop-gram present in m docs fans out to
+    m(m−1)/2 join rows; dropping grams with document frequency > max_doc_freq
+    bounds the blow-up (standard df-cut; makes the score approximate, so it
+    is OFF by default and callers opt in at scale).
     """
     grams = docs.select(
         "doc_id",
@@ -157,16 +185,30 @@ def ngram_jaccard_pairs(
             )
         ).alias("grams"),
     )
-    a = grams.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga"))
-    b = grams.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb"))
-    pairs = a.crossJoin(b).where(F.col("doc_a") < F.col("doc_b"))
-    inter = F.size(F.array_intersect("ga", "gb"))
-    union = F.size(F.array_union("ga", "gb"))
-    jac = F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
-    return pairs.select(
+    sizes = grams.select("doc_id", F.size("grams").alias("sz"))
+    g = grams.select("doc_id", F.explode("grams").alias("gram"))
+    if max_doc_freq is not None:
+        from pyspark.sql import Window
+
+        df_cnt = F.count("*").over(Window.partitionBy("gram"))
+        g = g.withColumn("_df", df_cnt).where(F.col("_df") <= max_doc_freq).drop("_df")
+    a = g.select(F.col("doc_id").alias("doc_a"), "gram")
+    b = g.select(F.col("doc_id").alias("doc_b"), "gram")
+    inter = (
+        a.join(b, "gram")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    out = inter.join(sa, "doc_a").join(sb, "doc_b")
+    union = F.col("sz_a") + F.col("sz_b") - F.col("n_common")
+    jac = F.when(union == 0, F.lit(1.0)).otherwise(F.col("n_common") / union)
+    return out.select(
         "doc_a",
         "doc_b",
-        inter.alias("n_common"),
+        "n_common",
         union.alias("n_union"),
         F.round(jac, 4).alias("jaccard"),
     ).where(F.col("jaccard") >= min_jaccard)

@@ -6,28 +6,25 @@ Spark-first replacement: no serving-time index — brute-force cosine as the
 exact baseline, and random-hyperplane LSH bucketing as the scale path
 (candidates collide in a bucket, exact cosine refines within the bucket).
 
-All vector math is JVM higher-order functions (zip_with/aggregate) — no
-UDFs, stays in the executor.
+Vector math is numpy-vectorized Arrow ``pandas_udf`` (functions/vecmath.py):
+round 1 shipped these kernels as zip_with/aggregate higher-order functions
+("pure JVM"), but HOF lambdas are interpreted per array element — the
+measured gap is ~7× at 64-dim (and grows with dim; the MinHash HOF→numpy
+migration was 30×).  At 10^9 × 768-dim the dot product IS the workload, so
+the kernel must be the vectorized one.
 """
 
 from __future__ import annotations
 
 import random
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-
-def _dot(a: Column, b: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-
-
-def _norm(a: Column) -> Column:
-    return F.sqrt(_dot(a, a))
+from mediachain_indexer_spark.functions.vecmath import (
+    cosine_batch,
+    make_hyperplane_bucket_udf,
+)
 
 
 def cosine_topk_bruteforce(
@@ -41,7 +38,10 @@ def cosine_topk_bruteforce(
     """Exact top-k neighbors of each query vector (broadcast the queries).
 
     Scale: queries broadcast, corpus scanned once, per-query top-k via a
-    window — O(corpus × queries) JVM work, no shuffle of the corpus.
+    window — O(corpus × queries) work with ONE Arrow crossing for the
+    cosine batch, no shuffle of the corpus (the only shuffle is the
+    per-query top-k, k rows per query per partition after the window's
+    rank filter).
     """
     q = query.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
@@ -49,7 +49,7 @@ def cosine_topk_bruteforce(
     joined = vectors.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v")
     ).crossJoin(F.broadcast(q))
-    cos = _dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv")))
+    cos = cosine_batch(F.col("v"), F.col("qv"))
     scored = joined.where(F.col("neighbor_id") != F.col("query_id")).select(
         "query_id", "neighbor_id", F.round(cos, round_digits).alias("cosine")
     )
@@ -63,6 +63,11 @@ def cosine_topk_bruteforce(
     )
 
 
+def _planes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
 def hyperplane_signatures(
     vectors: DataFrame,
     dim: int,
@@ -73,23 +78,15 @@ def hyperplane_signatures(
 ) -> DataFrame:
     """Random-hyperplane (sign) LSH signature per vector → bucket string.
 
-    P(bit match) = 1 - θ/π: close vectors share buckets.  Hyperplanes are
-    seeded literal arrays — constant-folded, evaluated JVM-side.
+    P(bit match) = 1 - θ/π: close vectors share buckets.  All n_planes sign
+    bits come from one (batch, dim) @ (dim, n_planes) matmul in a single
+    Arrow crossing (round 1 evaluated n_planes interpreted HOF dots).
     """
-    rng = random.Random(seed)
-    sig_bits = []
-    for _ in range(n_planes):
-        plane = [rng.gauss(0.0, 1.0) for _ in range(dim)]
-        plane_lit = F.array(*[F.lit(x) for x in plane])
-        sig_bits.append(
-            F.when(_dot(F.col(vec_col), plane_lit) >= 0, F.lit("1")).otherwise(
-                F.lit("0")
-            )
-        )
+    bucket_udf = make_hyperplane_bucket_udf(_planes(dim, n_planes, seed))
     return vectors.select(
         F.col(id_col),
         F.col(vec_col),
-        F.concat(*sig_bits).alias("bucket"),
+        bucket_udf(F.col(vec_col)).alias("bucket"),
     )
 
 
@@ -116,7 +113,7 @@ def cosine_neighbors_lsh(
         "bucket", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
     )
     pairs = a.join(b, "bucket").where(F.col("id_a") < F.col("id_b"))
-    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    cos = cosine_batch(F.col("va"), F.col("vb"))
     return (
         pairs.select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
         .where(F.col("cosine") >= min_cosine)

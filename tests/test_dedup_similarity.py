@@ -133,3 +133,52 @@ def test_token_counts(spark):
     got = {r["doc_id"]: (r["n_tokens"], r["n_subword_est"]) for r in token_counts(df).collect()}
     assert got["a"] == (3, 4)  # one+two → 1 each, three (5 chars) → 2
     assert got["b"][0] == 2 and got["b"][1] == 6  # ceil(20/4)=5 + 1
+
+
+def test_exact_duplicates_member_cap(spark):
+    """A planted mega-group (10k identical docs) must keep n_docs exact while
+    the members list is bounded by max_members — the aggregation buffer never
+    holds more than the cap (web-scale boilerplate-group protection)."""
+    rows = [(f"d{i:05d}", "same text every time") for i in range(10_000)]
+    rows.append(("zzz", "a unique one"))
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    groups = exact_duplicates(docs, max_members=16).collect()
+    assert len(groups) == 1
+    g = groups[0]
+    assert g["n_docs"] == 10_000
+    assert g["representative"] == "d00000"
+    assert g["members"] == [f"d{i:05d}" for i in range(16)]
+
+
+def test_ngram_jaccard_plan_is_equijoin(spark, text_docs):
+    """The co-gram plan must never materialize a cross product: round 1's
+    a.crossJoin(b) formulation is the classic O(n²) scale-killer."""
+    plan = ngram_jaccard_pairs(text_docs)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ngram_jaccard_max_doc_freq_cut(spark, text_docs):
+    """df-cut: grams above the document-frequency cap are dropped from the
+    join, so n_common only counts rare grams (approximate-by-design)."""
+    full = {
+        (r["doc_a"], r["doc_b"]): r["n_common"]
+        for r in ngram_jaccard_pairs(text_docs).collect()
+    }
+    cut = {
+        (r["doc_a"], r["doc_b"]): r["n_common"]
+        for r in ngram_jaccard_pairs(text_docs, max_doc_freq=2).collect()
+    }
+    assert set(cut) <= set(full)
+    for k, v in cut.items():
+        assert v <= full[k]
+
+
+def test_hyperplane_buckets_shape(spark, vec_df):
+    from mediachain_indexer_spark.operators.similarity import hyperplane_signatures
+
+    df, _ = vec_df
+    rows = hyperplane_signatures(df, dim=16, n_planes=8).collect()
+    assert len(rows) == 30
+    for r in rows:
+        assert len(r["bucket"]) == 8 and set(r["bucket"]) <= {"0", "1"}

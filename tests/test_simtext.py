@@ -59,3 +59,31 @@ def test_symmetry_and_range():
 def test_nulls_treated_as_empty():
     got = jaro_winkler_batch(pd.Series([None, None]), pd.Series([None, "x"]))
     assert got[0] == 1.0 and got[1] == 0.0
+
+
+def test_filter_unpersisted_scores(spark):
+    """Regression (round-1 driver failure er_matches): filtering score_pairs
+    output on is_match WITHOUT persisting first must not crash.  Before the
+    gated-JW pandas_udf was marked asNondeterministic, CollapseProject inlined
+    is_match → text_sim → gated(...) into a pushed-down join filter and
+    whole-stage codegen raised INTERNAL_ERROR 'Cannot evaluate expression'."""
+    from pyspark.sql import functions as F
+
+    from mediachain_indexer_spark.operators.scoring import score_pairs
+
+    feats = spark.createDataFrame(
+        [
+            ("a", "the quick brown fox", [1]),
+            ("b", "the quick brown fox", [1]),
+            ("c", "completely different text", [9999]),
+        ],
+        "doc_id string, norm_text string, phashes array<long>",
+    )
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("a", "c")], "doc_a string, doc_b string"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in score_pairs(pairs, feats).where(F.col("is_match")).collect()
+    }
+    assert got == {("a", "b")}
