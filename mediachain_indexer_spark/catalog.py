@@ -682,20 +682,20 @@ def dedup_exact_by_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-k against one query vector (the ANN baseline).
-    Cosine via the numpy Arrow kernel (functions/vecmath.py) — float64
-    upcast before multiply, matching the oracle's LIST_TRANSFORM cast;
-    round 1's interpreted zip_with/aggregate HOF was ~7× slower at 64-dim."""
-    from mediachain_indexer_spark.functions.vecmath import cosine_batch
+    """Brute-force cosine top-k against one query vector (the ANN baseline),
+    via the closure-kernel operator: the query matrix lives in the UDF
+    closure, the corpus crosses Arrow once (vecmath.py micro-bench: the
+    fastest shape at every dim — crossJoin variants re-ship the constant
+    query per row or interpret HOF lambdas per element)."""
+    from mediachain_indexer_spark.operators.similarity import cosine_topk_bruteforce
 
     emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
-    e = emb.where(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
-    cos = cosine_batch(F.col("embedding"), F.col("qv"))
+    out = cosine_topk_bruteforce(
+        emb, emb.where(F.col("vec_id") == 0), k=20, round_digits=4
+    )
     return (
-        e.select("vec_id", F.round(cos, 4).cast("double").alias("cosine"))
+        out.select(F.col("neighbor_id").alias("vec_id"), "cosine")
         .orderBy(F.col("cosine").desc(), "vec_id")
-        .limit(20)
     )
 
 

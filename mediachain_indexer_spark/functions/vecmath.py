@@ -14,9 +14,16 @@ same; the old HOF multiplied in float32 then cast) and the reduction is
 fold order more closely than BLAS-reordered ``matmul``).  Consumers round
 to ≤ 6 digits, absorbing any last-ulp difference.
 
-Micro-bench (this sandbox, local[32], 200k × 64-dim corpus, brute-force
-cosine vs one query): HOF zip_with/aggregate 21.3s → pandas_udf 2.9s (7.3×);
-see BENCH/BASELINE.md.
+Measured here (local[32], query-vs-corpus cosine, single back-to-back run;
+run-to-run variance on this box is large):
+- 200k × 64-dim:  HOF-crossjoin 0.69s, per-pair numpy 0.98s, closure 0.63s
+- 100k × 768-dim: HOF-crossjoin 7.2s,  per-pair numpy 5.4s,  closure 2.8s
+The lesson is NOT "numpy always wins": per-pair numpy after
+crossJoin(broadcast(q)) re-ships the constant query vector with every row,
+so Arrow transfer eats the numpy gain.  The winner at every dim is the
+closure kernel (make_multi_query_cosine_udf) — corpus crosses Arrow once,
+queries live in the closure.  The per-pair kernels below remain for genuine
+per-pair inputs (LSH refine, where both sides vary per row).
 """
 
 from __future__ import annotations
@@ -60,6 +67,40 @@ def norm_batch_np(a: pd.Series) -> pd.Series:
 cosine_batch = pandas_udf(cosine_batch_np, returnType=DoubleType())
 dot_batch = pandas_udf(dot_batch_np, returnType=DoubleType())
 norm_batch = pandas_udf(norm_batch_np, returnType=DoubleType())
+
+
+def make_multi_query_cosine_udf(Q: "np.ndarray"):
+    """Kernel for query-set-vs-corpus cosine: the (nq, dim) float64 query
+    matrix is a closure constant (spark-serialized to every worker — the
+    explicit form of broadcasting the small side), so ONLY the corpus
+    vector column crosses Arrow, once, and each batch is one
+    (batch, dim) @ (dim, nq) product.
+
+    The measured motivation (this sandbox, 100k × 768-dim corpus, one
+    back-to-back run): per-pair numpy cosine after crossJoin(broadcast(q))
+    re-ships the constant query vector with every row — 5.4s; the JVM HOF
+    avoids the transfer but interprets ~4600 lambda evals/row — 7.2s; this
+    closure kernel transfers the corpus once — 2.8s.  The gap grows with
+    query count (nq queries cost ONE extra matmul column, not nq re-ships).
+
+    einsum (not BLAS matmul) keeps sequential accumulation semantics so
+    results are bit-stable against the per-pair einsum kernel above.
+    """
+    Q = np.asarray(Q, dtype=np.float64)
+    qn = np.sqrt(np.einsum("ij,ij->i", Q, Q))  # (nq,)
+
+    def cos_all(v: pd.Series) -> pd.Series:
+        X = _stack(v)
+        num = np.einsum("ij,kj->ik", X, Q)  # (batch, nq)
+        xn = np.sqrt(np.einsum("ij,ij->i", X, X))[:, None]
+        den = xn * qn[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = np.where(den == 0.0, 0.0, num / den)
+        return pd.Series(list(out))
+
+    from pyspark.sql.types import ArrayType
+
+    return pandas_udf(cos_all, returnType=ArrayType(DoubleType()))
 
 
 def make_hyperplane_bucket_udf(planes: list[list[float]]):

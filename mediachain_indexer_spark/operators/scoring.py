@@ -181,3 +181,122 @@ def score_pairs(
         "score",
         "is_match",
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-block applyInPandas fallback (SURVEY §2.2 UDF table)
+# ---------------------------------------------------------------------------
+_GROUPED_SCHEMA = (
+    "doc_a string, doc_b string, text_sim double, min_hamming int, "
+    "score double, is_match boolean"
+)
+
+
+def _popcount64(x: "np.ndarray") -> "np.ndarray":  # noqa: F821 (doc type)
+    """SWAR popcount over a uint64 array (numpy<2 has no bitwise_count)."""
+    import numpy as np
+
+    x = x.astype(np.uint64, copy=True)
+    x -= (x >> np.uint64(1)) & np.uint64(0x5555555555555555)
+    x = (x & np.uint64(0x3333333333333333)) + (
+        (x >> np.uint64(2)) & np.uint64(0x3333333333333333)
+    )
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
+
+
+def score_pairs_in_blocks(
+    blocks,
+    features: DataFrame,
+    cfg: ScoringConfig = ScoringConfig(),
+    max_block_size: int = 256,
+) -> DataFrame:
+    """Fallback scorer: pair generation AND scoring inside one
+    ``applyInPandas`` per block — no pair table ever shuffles.
+
+    When to prefer it over the join path (``candidate_pairs`` +
+    ``score_pairs``): when pair explosion makes the materialized pair +
+    double-feature-join shuffle the bottleneck — each block's features cross
+    the Arrow boundary ONCE and the m(m−1)/2 pairs exist only inside the
+    Python worker.  The trade: blocks are hard-capped (sorted doc_id, first
+    ``max_block_size`` — same cap *size* as pairs.PairsConfig, though the
+    join path ranks by xxhash64 so the sampled members differ on over-cap
+    blocks) and the whole block must fit a worker's memory, so the join path
+    with salted triangle decomposition remains the default
+    (PipelineConfig.scoring_strategy).
+
+    Scores are EXACT (no cascade gating): text_sim/score can differ from the
+    join path on rows where the cascade emitted bounds, but ``is_match`` is
+    bit-identical — the gates are decision-invariant by construction
+    (tests/test_scoring_grouped.py asserts both properties).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from mediachain_indexer_spark.functions.simtext import (
+        jaro_winkler_batch,
+        levenshtein_sim_batch,
+    )
+
+    radius, floor, tau = cfg.hamming_radius, cfg.text_floor, cfg.text_only_threshold
+
+    def score_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").head(max_block_size)
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series(dtype="str"),
+                    "doc_b": pd.Series(dtype="str"),
+                    "text_sim": pd.Series(dtype="float64"),
+                    "min_hamming": pd.Series(dtype="int32"),
+                    "score": pd.Series(dtype="float64"),
+                    "is_match": pd.Series(dtype="bool"),
+                }
+            )
+        ia, ib = np.triu_indices(m, k=1)
+        ta = pdf["norm_text"].fillna("").iloc[ia].reset_index(drop=True)
+        tb = pdf["norm_text"].fillna("").iloc[ib].reset_index(drop=True)
+
+        # min-Hamming over the phash cross product (pad + SWAR popcount)
+        ph = pdf["phashes"].to_numpy()
+        width = max((len(p) if p is not None else 0) for p in ph)
+        if width == 0:
+            ham = np.full(len(ia), HAMMING_FAR, dtype=np.int64)
+        else:
+            mat = np.zeros((m, width), dtype=np.int64)
+            has = np.zeros((m, width), dtype=bool)
+            for i, p in enumerate(ph):
+                if p is not None and len(p):
+                    mat[i, : len(p)] = np.asarray(p, dtype=np.int64)
+                    has[i, : len(p)] = True
+            x = mat[ia][:, :, None] ^ mat[ib][:, None, :]
+            d = _popcount64(x.view(np.uint64).reshape(x.shape))
+            valid = has[ia][:, :, None] & has[ib][:, None, :]
+            d = np.where(valid, d, HAMMING_FAR)
+            ham = d.reshape(len(ia), -1).min(axis=1)
+
+        lev = levenshtein_sim_batch(ta, tb)
+        sort_tokens = lambda s: " ".join(sorted(s.split(" ")))  # noqa: E731
+        lev_sorted = levenshtein_sim_batch(ta.map(sort_tokens), tb.map(sort_tokens))
+        jw = jaro_winkler_batch(ta, tb).to_numpy()
+        text_sim = np.maximum((jw + lev) / 2.0, lev_sorted)
+        media_sim = 1.0 - np.minimum(ham, 16) / 16.0
+        is_match = ((ham <= radius) & (text_sim >= floor)) | (text_sim >= tau)
+        return pd.DataFrame(
+            {
+                "doc_a": pdf["doc_id"].iloc[ia].to_numpy(),
+                "doc_b": pdf["doc_id"].iloc[ib].to_numpy(),
+                "text_sim": text_sim,
+                "min_hamming": ham.astype(np.int32),
+                "score": 0.6 * text_sim + 0.4 * media_sim,
+                "is_match": is_match,
+            }
+        )
+
+    joined = blocks.join(features, "doc_id").select(
+        "block_key", "doc_id", "norm_text", "phashes"
+    )
+    out = joined.groupBy("block_key").applyInPandas(score_block, _GROUPED_SCHEMA)
+    # a pair can appear under several blocking keys; keep one row
+    return out.dropDuplicates(["doc_a", "doc_b"])

@@ -6,12 +6,14 @@ Spark-first replacement: no serving-time index — brute-force cosine as the
 exact baseline, and random-hyperplane LSH bucketing as the scale path
 (candidates collide in a bucket, exact cosine refines within the bucket).
 
-Vector math is numpy-vectorized Arrow ``pandas_udf`` (functions/vecmath.py):
-round 1 shipped these kernels as zip_with/aggregate higher-order functions
-("pure JVM"), but HOF lambdas are interpreted per array element — the
-measured gap is ~7× at 64-dim (and grows with dim; the MinHash HOF→numpy
-migration was 30×).  At 10^9 × 768-dim the dot product IS the workload, so
-the kernel must be the vectorized one.
+Vector math is numpy-vectorized Arrow ``pandas_udf`` (functions/vecmath.py).
+Round 1 shipped these kernels as zip_with/aggregate higher-order functions
+("pure JVM"); HOF lambdas are interpreted per array element, and the round-2
+micro-bench (vecmath.py docstring) shows the fastest shape at every dim is
+the closure kernel — query matrix in the UDF closure, corpus crossing Arrow
+once.  At 10^9 × 768-dim the dot product IS the workload, so brute-force
+top-k uses the closure kernel; the LSH refine (genuinely per-pair inputs)
+uses the per-pair numpy kernel.
 """
 
 from __future__ import annotations
@@ -35,23 +37,43 @@ def cosine_topk_bruteforce(
     vec_col: str = "embedding",
     round_digits: int = 6,
 ) -> DataFrame:
-    """Exact top-k neighbors of each query vector (broadcast the queries).
+    """Exact top-k neighbors of each query vector.
 
-    Scale: queries broadcast, corpus scanned once, per-query top-k via a
-    window — O(corpus × queries) work with ONE Arrow crossing for the
-    cosine batch, no shuffle of the corpus (the only shuffle is the
-    per-query top-k, k rows per query per partition after the window's
-    rank filter).
+    Scale shape: the query set is the SMALL side — it is collected to the
+    driver (the explicit form of a broadcast; same size bound applies) and
+    baked into the cosine kernel's closure as an (nq, dim) matrix.  The
+    corpus is scanned once, crosses Arrow once (vector column only — the
+    naive crossJoin(broadcast(q)) re-ships the constant query vector with
+    every corpus row), and each Arrow batch computes all nq cosines as one
+    (batch, dim) @ (dim, nq) product.  Per-query top-k via a window; only
+    (corpus × nq) id/score rows ever shuffle, never vectors.
     """
-    q = query.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    import numpy as np
+
+    from mediachain_indexer_spark.functions.vecmath import (
+        make_multi_query_cosine_udf,
     )
-    joined = vectors.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v")
-    ).crossJoin(F.broadcast(q))
-    cos = cosine_batch(F.col("v"), F.col("qv"))
-    scored = joined.where(F.col("neighbor_id") != F.col("query_id")).select(
-        "query_id", "neighbor_id", F.round(cos, round_digits).alias("cosine")
+
+    qrows = query.select(id_col, vec_col).collect()
+    if not qrows:
+        schema = "query_id long, neighbor_id long, cosine double, rnk int"
+        return vectors.sparkSession.createDataFrame([], schema)
+    qids = [r[0] for r in qrows]
+    Q = np.asarray([list(r[1]) for r in qrows], dtype=np.float64)
+    cos_all = make_multi_query_cosine_udf(Q)
+    qid_lit = F.array(*[F.lit(q) for q in qids])
+
+    scored = (
+        vectors.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.posexplode(cos_all(F.col(vec_col))).alias("qpos", "cosine_raw"),
+        )
+        .select(
+            F.element_at(qid_lit, F.col("qpos") + 1).alias("query_id"),
+            "neighbor_id",
+            F.round("cosine_raw", round_digits).alias("cosine"),
+        )
+        .where(F.col("neighbor_id") != F.col("query_id"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")

@@ -66,6 +66,7 @@ def grid_search_thresholds(
     hamming_radii: tuple[int, ...] = (4, 6, 8, 10),
     text_floors: tuple[float, ...] = (0.4, 0.5, 0.6),
     text_onlys: tuple[float, ...] = (0.93, 0.96, 0.99),
+    scored_cfg=None,
 ) -> list[dict]:
     """Decision-threshold sweep on already-scored pairs (mc_eval parity).
 
@@ -74,7 +75,28 @@ def grid_search_thresholds(
     |grid| extra columns, zero extra shuffles or rescoring.  Pair-level F1
     (pre-clustering) — the cluster step can only merge, so this bounds the
     pipeline's precision.
+
+    **Gating coupling**: ``score_pairs`` cascade-gates its text channels —
+    jw is null and lev_sim/lev_sim_sorted are upper *bounds* wherever the
+    exact value cannot flip the decision *at the scoring config's own
+    thresholds*.  Sweeping combos outside that envelope would evaluate
+    degraded text_sim and report F1 the pipeline would not actually produce.
+    Pass ``scored_cfg`` (the ScoringConfig the ``scored`` frame was produced
+    with) and the sweep asserts dominance: the scored config's radius must
+    be ≥ every swept radius and its floor/τ ≤ every swept floor/τ — i.e.
+    score once with the most permissive grid corner, then sweep.
     """
+    if scored_cfg is not None:
+        assert scored_cfg.hamming_radius >= max(hamming_radii), (
+            "scored_cfg.hamming_radius must dominate the sweep: gated rows "
+            f"assume radius {scored_cfg.hamming_radius} < swept {max(hamming_radii)}"
+        )
+        assert scored_cfg.text_floor <= min(text_floors), (
+            "scored_cfg.text_floor must be <= every swept floor"
+        )
+        assert scored_cfg.text_only_threshold <= min(text_onlys), (
+            "scored_cfg.text_only_threshold must be <= every swept tau"
+        )
     j = labels.join(scored, ["doc_a", "doc_b"], "inner")
     aggs = []
     combos = []

@@ -32,6 +32,12 @@ class PipelineConfig:
     blocking: BlockingConfig = field(default_factory=BlockingConfig)
     pairs: PairsConfig = field(default_factory=PairsConfig)
     scoring: ScoringConfig = field(default_factory=ScoringConfig)
+    # "join" (default): candidate_pairs self-join + score_pairs — salted,
+    # size-capped, the 100-TB path.  "grouped": per-block applyInPandas
+    # (operators/scoring.score_pairs_in_blocks) — pair generation + scoring
+    # inside one Python worker per block; same is_match bits, no pair
+    # shuffle, but whole-block memory + hard cap (fallback tier).
+    scoring_strategy: str = "join"
 
 
 @dataclass
@@ -42,23 +48,42 @@ class PipelineResult:
     scored: DataFrame  # (doc_a, doc_b, jw, lev_sim, text_sim, min_hamming, ...)
     matches: DataFrame  # scored.filter(is_match)
     clusters: DataFrame  # (doc_id, entity_id)
+    sink_stats: dict | None = None  # upsert stats when entity_sink was given
 
 
 def run_pipeline(
     docs: DataFrame,
     cfg: PipelineConfig = PipelineConfig(),
     runner: StageRunner | None = None,
+    entity_sink: str | None = None,
 ) -> PipelineResult:
     """documents(doc_id, spans) → PipelineResult.
 
     With a ``runner`` every stage checkpoints (resume at block / score /
     cluster granularity); without, stages stay lazy except the CC loop and
     the features cache.
+
+    ``entity_sink``: optional path of the canonical entity table; the final
+    (doc_id, entity_id) assignments are MERGE-upserted into it by doc_id
+    (sources/merge.upsert_entities — the reference's idempotent cluster
+    writeback, Iceberg MERGE INTO in prod), so successive incremental runs
+    converge on one table instead of overwriting it wholesale.
     """
     norm = normalize_documents(docs)
     features = norm.select("doc_id", "norm_text", "phashes")
 
-    if runner is not None:
+    if cfg.scoring_strategy == "grouped":
+        from mediachain_indexer_spark.operators.scoring import score_pairs_in_blocks
+
+        features = features.persist()
+        blocks = build_blocks(features, cfg.blocking)
+        scored = score_pairs_in_blocks(
+            blocks, features, cfg.scoring, cfg.pairs.max_block_size
+        ).persist()
+        pairs = scored.select("doc_a", "doc_b")
+        matches = scored.where(F.col("is_match"))
+        clusters = attach_components(docs, connected_components(matches))
+    elif runner is not None:
         features = runner.run("normalize", lambda: features, key_col="doc_id")
         blocks = runner.run(
             "block", lambda: build_blocks(features, cfg.blocking), key_col="block_key"
@@ -86,4 +111,12 @@ def run_pipeline(
         matches = scored.where(F.col("is_match"))
         clusters = attach_components(docs, connected_components(matches))
 
-    return PipelineResult(features, blocks, pairs, scored, matches, clusters)
+    sink_stats = None
+    if entity_sink is not None:
+        from mediachain_indexer_spark.sources.merge import upsert_entities
+
+        sink_stats = upsert_entities(clusters, entity_sink, key_col="doc_id")
+
+    return PipelineResult(
+        features, blocks, pairs, scored, matches, clusters, sink_stats
+    )

@@ -43,3 +43,26 @@ def test_grid_search_orders_by_f1(spark):
     )
     assert res[0]["text_only"] == 0.99 and res[0]["f1"] == 1.0
     assert res[-1]["f1"] < 1.0
+
+
+def test_grid_search_asserts_scored_cfg_dominates(spark):
+    """Sweeping outside the scored config's gating envelope must be rejected:
+    gated rows carry bounds, not exact sims, for foreign thresholds."""
+    import pytest
+
+    from mediachain_indexer_spark.operators.scoring import ScoringConfig
+
+    labels = spark.createDataFrame(
+        [("a", "b", True)], "doc_a string, doc_b string, is_match boolean"
+    )
+    scored = spark.createDataFrame(
+        [("a", "b", 0.97, 2)],
+        "doc_a string, doc_b string, text_sim double, min_hamming int",
+    )
+    dominant = ScoringConfig(hamming_radius=10, text_floor=0.4, text_only_threshold=0.93)
+    res = grid_search_thresholds(labels, scored, scored_cfg=dominant)
+    assert res[0]["f1"] == 1.0
+
+    narrow = ScoringConfig(hamming_radius=8, text_floor=0.5, text_only_threshold=0.96)
+    with pytest.raises(AssertionError):
+        grid_search_thresholds(labels, scored, scored_cfg=narrow)

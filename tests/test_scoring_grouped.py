@@ -1,0 +1,85 @@
+"""Per-block applyInPandas scoring fallback vs the join path (SURVEY §2.2).
+
+Contract: identical ``is_match`` decisions (the join path's cascade gates
+are decision-invariant by construction, so the exact-scoring fallback must
+agree bit-for-bit on every pair), and identical pair coverage when no block
+exceeds the cap."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from mediachain_indexer_spark.functions.simtext import levenshtein_batch
+from mediachain_indexer_spark.operators.blocking import build_blocks
+from mediachain_indexer_spark.operators.normalize import normalize_documents
+from mediachain_indexer_spark.operators.pairs import candidate_pairs
+from mediachain_indexer_spark.operators.scoring import (
+    score_pairs,
+    score_pairs_in_blocks,
+)
+
+
+def _ref_lev(s1: str, s2: str) -> int:
+    d = list(range(len(s2) + 1))
+    for i in range(1, len(s1) + 1):
+        prev, d[0] = d[0], i
+        for j in range(1, len(s2) + 1):
+            cur = d[j]
+            d[j] = min(d[j] + 1, d[j - 1] + 1, prev + (s1[i - 1] != s2[j - 1]))
+            prev = cur
+    return d[len(s2)]
+
+
+def test_levenshtein_batch_matches_scalar():
+    import random
+
+    rng = random.Random(3)
+    a = ["".join(rng.choice("abcd ") for _ in range(rng.randint(0, 25))) for _ in range(200)]
+    b = ["".join(rng.choice("abcd ") for _ in range(rng.randint(0, 25))) for _ in range(200)]
+    a += ["", "abc", ""]
+    b += ["", "", "xy"]
+    got = levenshtein_batch(pd.Series(a), pd.Series(b))
+    exp = np.array([_ref_lev(x, y) for x, y in zip(a, b)])
+    assert (got == exp).all()
+
+
+def test_grouped_matches_join_path(spark, docs500):
+    feats = normalize_documents(docs500).select("doc_id", "norm_text", "phashes")
+    feats = feats.persist()
+    blocks = build_blocks(feats).persist()
+
+    pairs = candidate_pairs(blocks)
+    join_rows = {
+        (r["doc_a"], r["doc_b"]): r["is_match"]
+        for r in score_pairs(pairs, feats).collect()
+    }
+    grouped_rows = {
+        (r["doc_a"], r["doc_b"]): r["is_match"]
+        for r in score_pairs_in_blocks(blocks, feats).collect()
+    }
+    assert set(join_rows) == set(grouped_rows)  # same pair coverage
+    diff = [k for k in join_rows if join_rows[k] != grouped_rows[k]]
+    assert diff == []  # cascade gates are decision-invariant
+
+    feats.unpersist()
+    blocks.unpersist()
+
+
+def test_grouped_pipeline_end_to_end(spark, docs500, golden500):
+    from mediachain_indexer_spark.plans.pipeline import PipelineConfig, run_pipeline
+
+    res = run_pipeline(docs500, PipelineConfig(scoring_strategy="grouped"))
+    got = {r["doc_id"]: r["entity_id"] for r in res.clusters.collect()}
+    assert len(got) == 500
+    # same partition of docs into entities as the golden clusters
+    exp_groups = {}
+    for r in golden500.collect():
+        exp_groups.setdefault(r["entity_id"], set()).add(r["doc_id"])
+    got_groups = {}
+    for d, e in got.items():
+        got_groups.setdefault(e, set()).add(d)
+    assert sorted(map(sorted, exp_groups.values())) == sorted(
+        map(sorted, got_groups.values())
+    )
