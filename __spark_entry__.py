@@ -115,6 +115,19 @@ def _er_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("is_match"))
 
 
+def _er_matches_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-block applyInPandas scoring fallback (pairs + exact scores inside
+    one Python worker per block) — decision-equivalent to er_matches
+    (tests/test_scoring_grouped.py asserts bit-identical is_match)."""
+    from mediachain_indexer_spark.operators.blocking import build_blocks
+    from mediachain_indexer_spark.operators.scoring import score_pairs_in_blocks
+
+    feats = _er_features(spark, sf_dir)
+    return score_pairs_in_blocks(build_blocks(feats), feats).where(
+        F.col("is_match")
+    )
+
+
 def _er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mediachain_indexer_spark.plans.pipeline import run_pipeline
 
@@ -161,6 +174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "er_blocks": _er_blocks,
             "er_candidate_pairs": _er_candidate_pairs,
             "er_matches": _er_matches,
+            "er_matches_grouped": _er_matches_grouped,
             "er_clusters": _er_clusters,
             "er_eval_f1": _er_eval_f1,
         }

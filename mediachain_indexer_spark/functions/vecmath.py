@@ -103,6 +103,44 @@ def make_multi_query_cosine_udf(Q: "np.ndarray"):
     return pandas_udf(cos_all, returnType=ArrayType(DoubleType()))
 
 
+def make_indexed_query_cosine_udf(Q: "np.ndarray"):
+    """Per-row cosine against ``Q[qpos]`` — for candidate lists where each
+    corpus row is paired with ONE query (IVF probe results): inputs are the
+    vector column and an int query-index column; Q lives in the closure.
+    Arithmetic is the same per-pair einsum as ``cosine_batch`` so results are
+    bit-identical to the brute-force path."""
+    Q = np.asarray(Q, dtype=np.float64)
+    qn = np.sqrt(np.einsum("ij,ij->i", Q, Q))
+
+    def cos_at(v: pd.Series, qpos: pd.Series) -> pd.Series:
+        X = _stack(v)
+        idx = qpos.to_numpy().astype(np.int64)
+        Qg = Q[idx]
+        num = np.einsum("ij,ij->i", X, Qg)
+        den = np.sqrt(np.einsum("ij,ij->i", X, X)) * qn[idx]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = np.where(den == 0.0, 0.0, num / den)
+        return pd.Series(out)
+
+    return pandas_udf(cos_at, returnType=DoubleType())
+
+
+def make_centroid_assign_udf(C: "np.ndarray"):
+    """Nearest-centroid (max cosine) cell id per vector; the (n_cells, dim)
+    centroid matrix is a closure constant — one matmul per Arrow batch."""
+    C = np.asarray(C, dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+
+    def assign(v: pd.Series) -> pd.Series:
+        X = _stack(v)
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(Xn @ Cn.T, axis=1).astype(np.int32))
+
+    from pyspark.sql.types import IntegerType
+
+    return pandas_udf(assign, returnType=IntegerType())
+
+
 def make_hyperplane_bucket_udf(planes: list[list[float]]):
     """One Arrow crossing computing ALL hyperplane sign bits → bucket string.
 

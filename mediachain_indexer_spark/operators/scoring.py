@@ -101,7 +101,11 @@ def score_pairs(
     len_gap = F.abs(F.length("text_a") - F.length("text_b"))
     lev_ub = F.when(max_len == 0, F.lit(1.0)).otherwise(1.0 - len_gap / max_len)
     in_radius = F.col("min_hamming") <= cfg.hamming_radius
-    lev_sim = F.when(max_len == 0, F.lit(1.0)).otherwise(
+    # equality short-circuit first: exact-text dupes (14% of bench pairs)
+    # skip both O(m·n) DPs and (via the matching gate in make_gated_jw) the
+    # Python JW kernel — all three are exactly 1.0 for equal strings
+    eq_text = F.col("text_a") == F.col("text_b")
+    lev_sim = F.when(eq_text | (max_len == 0), F.lit(1.0)).otherwise(
         F.when(
             in_radius | (lev_ub >= 2.0 * cfg.text_only_threshold - 1.0),
             1.0 - F.levenshtein("text_a", "text_b") / max_len,
@@ -119,7 +123,7 @@ def score_pairs(
     sorted_ub = F.when(smax_len == 0, F.lit(1.0)).otherwise(
         1.0 - slen_gap / smax_len
     )
-    lev_sim_sorted = F.when(smax_len == 0, F.lit(1.0)).otherwise(
+    lev_sim_sorted = F.when(eq_text | (smax_len == 0), F.lit(1.0)).otherwise(
         F.when(
             in_radius | (sorted_ub >= cfg.text_only_threshold),
             1.0 - F.levenshtein(sa, sb) / smax_len,
@@ -229,6 +233,13 @@ def score_pairs_in_blocks(
     join path on rows where the cascade emitted bounds, but ``is_match`` is
     bit-identical — the gates are decision-invariant by construction
     (tests/test_scoring_grouped.py asserts both properties).
+
+    Measured trade-off: on a MANY-TINY-BLOCKS profile (fx2000: 34,742 blocks
+    averaging <2 members) the per-group Python invocation overhead dominates
+    and the join path is ~15× faster; the fallback pays off only when the
+    block-size profile is FEW-LARGE (where the join path's pair table and
+    double feature join dominate instead).  Choose by profile, not by
+    default — hence the config flag.
     """
     import numpy as np
     import pandas as pd

@@ -112,6 +112,134 @@ def hyperplane_signatures(
     )
 
 
+def train_ivf_centroids(
+    vectors: DataFrame,
+    n_centroids: int = 64,
+    sample_size: int = 20_000,
+    iters: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Spherical k-means centroids from a deterministic corpus sample.
+
+    IVF training is sample-based by construction (FAISS trains on ~max(256,
+    39×n_centroids) points, not the corpus): the sample is taken with a
+    stable hash filter (xxhash64(id) — no full sort, prunes at the scan),
+    collected (it is the broadcast-small side), and Lloyd-iterated in numpy
+    on the driver.  Returns an (n_centroids, dim) float64 matrix.
+    """
+    import numpy as np
+
+    # stable pseudo-random sample: keep ids whose hash falls in a residue
+    # class sized to overshoot sample_size, then cap
+    n_total = vectors.count()
+    keep_mod = max(int(n_total // max(sample_size, 1)), 1)
+    sample = (
+        vectors.where(F.pmod(F.xxhash64(F.col(id_col)), F.lit(keep_mod)) == 0)
+        .select(vec_col)
+        .limit(sample_size)
+        .collect()
+    )
+    X = np.asarray([list(r[0]) for r in sample], dtype=np.float64)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    k = min(n_centroids, len(Xn))
+    C = Xn[rng.choice(len(Xn), size=k, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(Xn @ C.T, axis=1)
+        for c in range(k):
+            members = Xn[assign == c]
+            if len(members) == 0:  # dead cell → reseed from a random point
+                C[c] = Xn[rng.randint(len(Xn))]
+            else:
+                m = members.mean(axis=0)
+                C[c] = m / max(np.linalg.norm(m), 1e-12)
+    return C
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    n_centroids: int = 64,
+    n_probe: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    centroids=None,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: the ANN scale path.
+
+    Shape: every corpus vector is assigned to its nearest spherical-k-means
+    centroid (``cell`` — ONE closure-kernel matmul per Arrow batch; at 10^12
+    vectors the assignment is computed once and the table is written
+    partitioned/bucketed by cell, so probing prunes at the scan).  Each
+    query probes its ``n_probe`` nearest cells; only corpus rows in probed
+    cells are scored — exact cosine, same per-pair einsum arithmetic as
+    brute force, so with ``n_probe == n_centroids`` the result is
+    bit-identical to ``cosine_topk_bruteforce`` (the correctness oracle;
+    tests/test_ivf.py) and recall degrades gracefully as n_probe shrinks.
+
+    The probe list (query_id × n_probe cells) is broadcast; the only wide
+    ops are the cell-filtered candidate join and the per-query top-k window.
+    """
+    import numpy as np
+
+    from mediachain_indexer_spark.functions.vecmath import (
+        make_centroid_assign_udf,
+        make_indexed_query_cosine_udf,
+    )
+
+    spark = vectors.sparkSession
+    qrows = query.select(id_col, vec_col).collect()
+    if not qrows:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rnk int"
+        )
+    qids = [r[0] for r in qrows]
+    Q = np.asarray([list(r[1]) for r in qrows], dtype=np.float64)
+
+    C = centroids if centroids is not None else train_ivf_centroids(
+        vectors, n_centroids, seed=seed, id_col=id_col, vec_col=vec_col
+    )
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    probe = np.argsort(-(Qn @ Cn.T), axis=1, kind="stable")[:, : min(n_probe, len(C))]
+
+    probe_rows = [
+        (int(qpos), int(qids[qpos]), int(c))
+        for qpos in range(len(qids))
+        for c in probe[qpos]
+    ]
+    probe_df = spark.createDataFrame(probe_rows, "qpos int, query_id long, cell int")
+
+    assign_udf = make_centroid_assign_udf(C)
+    assigned = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("v"),
+        assign_udf(F.col(vec_col)).alias("cell"),
+    )
+    cos_at = make_indexed_query_cosine_udf(Q)
+    cand = assigned.join(F.broadcast(probe_df), "cell").where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cos_at(F.col("v"), F.col("qpos")), round_digits).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )
+
+
 def cosine_neighbors_lsh(
     vectors: DataFrame,
     dim: int,
