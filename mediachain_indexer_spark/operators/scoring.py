@@ -305,9 +305,27 @@ def score_pairs_in_blocks(
             }
         )
 
-    joined = blocks.join(features, "doc_id").select(
+    from pyspark.sql import Window
+
+    # drop singleton blocks BEFORE the Python boundary: they produce zero
+    # pairs but each would still pay a per-group pandas invocation (the
+    # dominant cost on many-tiny-blocks profiles — most LSH bands are
+    # singletons).  The size window shares hashpartitioning(block_key) with
+    # the applyInPandas grouping, so this adds no extra exchange.
+    sized = blocks.withColumn(
+        "_bsize", F.count("*").over(Window.partitionBy("block_key"))
+    ).where(F.col("_bsize") >= 2)
+    joined = sized.join(features, "doc_id").select(
         "block_key", "doc_id", "norm_text", "phashes"
     )
+    # pin the grouping width: the grouped relation is byte-small, so AQE
+    # coalesces the applyInPandas shuffle to ONE partition and every block
+    # scores serially in a single Python worker (measured 80s vs 11s at
+    # fx2000).  An explicit repartition(n, key) is exempt from AQE
+    # coalescing and satisfies the groupBy's distribution, so no second
+    # exchange is added.
+    n_parts = joined.sparkSession.sparkContext.defaultParallelism * 2
+    joined = joined.repartition(n_parts, "block_key")
     out = joined.groupBy("block_key").applyInPandas(score_block, _GROUPED_SCHEMA)
     # a pair can appear under several blocking keys; keep one row
     return out.dropDuplicates(["doc_a", "doc_b"])
