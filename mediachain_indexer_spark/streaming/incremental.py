@@ -81,6 +81,55 @@ def stream_dedup_within_watermark(stream: DataFrame) -> DataFrame:
     )
 
 
+def stream_exact_dedup_counts(stream: DataFrame, text_col: str = "text") -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``): running
+    exact-duplicate GROUPS over a document stream.
+
+    ``dropDuplicatesWithinWatermark`` can only *drop* repeats; the reference's
+    dedup semantics (operators/dedup.exact_duplicates) are group-shaped —
+    who arrived first, how many copies exist.  Per normalized-text key the
+    state carries (first_doc_id, n_seen); each micro-batch that touches a
+    key emits the updated (text_key, first_doc_id, n_seen) row (update mode).
+
+    The key is the JVM-computed ``xxhash64(norm_text(text))`` so state stays
+    a 64-bit key + tiny tuple — at web scale the state store holds
+    O(distinct texts in horizon) entries, not documents.  NoTimeout keeps
+    the demo simple; production sets a watermark + EventTimeTimeout to
+    expire cold keys.
+    """
+    import pandas as pd
+
+    from mediachain_indexer_spark.functions.text import norm_text
+
+    keyed = stream.select(
+        F.xxhash64(norm_text(F.col(text_col))).alias("text_key"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+    )
+
+    def update_groups(key, pdfs, state):
+        if state.exists:
+            first_doc, n_seen = state.get
+        else:
+            first_doc, n_seen = None, 0
+        for pdf in pdfs:
+            # min-doc_id representative, like the batch operator
+            for doc in pdf["doc_id"]:
+                first_doc = doc if first_doc is None else min(first_doc, doc)
+                n_seen += 1
+        state.update((first_doc, n_seen))
+        yield pd.DataFrame(
+            {"text_key": [key[0]], "first_doc_id": [first_doc], "n_seen": [n_seen]}
+        )
+
+    return keyed.groupBy("text_key").applyInPandasWithState(
+        update_groups,
+        outputStructType="text_key long, first_doc_id string, n_seen long",
+        stateStructType="first_doc_id string, n_seen long",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Incremental dedupe ingest (foreachBatch over the batch pipeline)
 # ---------------------------------------------------------------------------

@@ -223,3 +223,60 @@ def test_streaming_sliding_counts(spark):
     finally:
         q.stop()
     assert len(rows) >= 1 and all(r["approx_users"] >= 1 for r in rows)
+
+
+def test_stream_exact_dedup_counts_stateful(spark, tmp_path):
+    """applyInPandasWithState: per-text-key state (first_doc_id, n_seen)
+    accumulates ACROSS micro-batches — the second file's repeat of doc a1's
+    text must raise that key's running count, not start over."""
+    import os
+    import time
+
+    from mediachain_indexer_spark.streaming.incremental import (
+        stream_exact_dedup_counts,
+    )
+
+    src = tmp_path / "src"
+    os.makedirs(src)
+    schema = "doc_id string, text string"
+    batch1 = spark.createDataFrame(
+        [("a1", "same text"), ("b1", "same text"), ("c1", "other text")], schema
+    )
+    batch1.coalesce(1).write.mode("overwrite").parquet(str(src / "f1"))
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(
+        str(src / "*")
+    )
+    q = (
+        stream_exact_dedup_counts(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_state_test")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        for _ in range(20):
+            q.processAllAvailable()
+            if spark.sql("select * from dedup_state_test").count() >= 2:
+                break
+            time.sleep(0.5)
+        batch2 = spark.createDataFrame([("a2", "same text")], schema)
+        batch2.coalesce(1).write.mode("overwrite").parquet(str(src / "f2"))
+        for _ in range(20):
+            q.processAllAvailable()
+            if spark.sql(
+                "select max(n_seen) as m from dedup_state_test"
+            ).collect()[0]["m"] >= 3:
+                break
+            time.sleep(0.5)
+        rows = spark.sql("select * from dedup_state_test").collect()
+    finally:
+        q.stop()
+
+    by_key = {}
+    for r in rows:  # update mode emits one row per key per touching batch
+        by_key.setdefault(r["text_key"], []).append((r["n_seen"], r["first_doc_id"]))
+    counts = {max(v)[0] for v in by_key.values()}
+    assert counts == {3, 1}  # 'same text' seen 3×, 'other text' once
+    same_key = [k for k, v in by_key.items() if max(v)[0] == 3][0]
+    assert max(by_key[same_key])[1] == "a1"  # first-seen representative kept
