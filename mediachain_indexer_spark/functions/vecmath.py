@@ -64,7 +64,12 @@ def norm_batch_np(a: pd.Series) -> pd.Series:
     return pd.Series(np.sqrt(_dot_np(A, A)))
 
 
-cosine_batch = pandas_udf(cosine_batch_np, returnType=DoubleType())
+# .asNondeterministic() on kernels whose outputs feed FILTERS or JOIN KEYS:
+# deterministic in fact, but without the barrier Catalyst pushes the
+# null-check / threshold filter below the projection and evaluates the UDF
+# TWICE (observed in .explain: two ArrowEvalPython nodes computing the same
+# assign()/cosine for isnotnull + the real consumer).
+cosine_batch = pandas_udf(cosine_batch_np, returnType=DoubleType()).asNondeterministic()
 dot_batch = pandas_udf(dot_batch_np, returnType=DoubleType())
 norm_batch = pandas_udf(norm_batch_np, returnType=DoubleType())
 
@@ -138,7 +143,9 @@ def make_centroid_assign_udf(C: "np.ndarray"):
 
     from pyspark.sql.types import IntegerType
 
-    return pandas_udf(assign, returnType=IntegerType())
+    # barrier: the cell becomes a join key; without it the join's pushed
+    # isnotnull(cell) filter re-evaluates the whole matmul a second time
+    return pandas_udf(assign, returnType=IntegerType()).asNondeterministic()
 
 
 def make_hyperplane_bucket_udf(planes: list[list[float]]):
@@ -159,4 +166,5 @@ def make_hyperplane_bucket_udf(planes: list[list[float]]):
         s = np.ascontiguousarray(codes).view(f"U{n_planes}").ravel()
         return pd.Series(s)
 
-    return pandas_udf(bucket, returnType=StringType())
+    # barrier: bucket is the LSH join key (same double-eval risk as assign)
+    return pandas_udf(bucket, returnType=StringType()).asNondeterministic()
