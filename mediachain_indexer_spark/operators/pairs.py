@@ -37,6 +37,14 @@ class PairsConfig:
     max_block_size: int = 256
     salt_threshold: int = 32
     n_salts: int = 8
+    # materialize the capped/sized block table once (lazy localCheckpoint)
+    # before fanning into the small/salted join branches.  The staged
+    # subtree feeds FOUR join inputs (left/right × plain/salted) and
+    # Spark's exchange reuse does NOT fire across them (verified on the
+    # executed plan: 4 full recomputations of scan→MinHash→window, zero
+    # ReusedExchange) — measured 9.4s → 5.3s for the pairs stage at the
+    # 100k bench.  Same lazy-localCheckpoint idiom as the CC loop.
+    materialize_staged: bool = True
 
 
 def _with_block_stats(blocks: DataFrame, cfg: PairsConfig) -> DataFrame:
@@ -112,6 +120,8 @@ def _salted_pairs(blocks: DataFrame, cfg: PairsConfig) -> DataFrame:
 def candidate_pairs(blocks: DataFrame, cfg: PairsConfig = PairsConfig()) -> DataFrame:
     """blocks(block_key, doc_id) → distinct pairs (doc_a < doc_b)."""
     staged = _with_block_stats(blocks, cfg)
+    if cfg.materialize_staged:
+        staged = staged.localCheckpoint(eager=False)
     small = staged.where(F.col("bsize") <= cfg.salt_threshold).select(
         "block_key", "doc_id"
     )
