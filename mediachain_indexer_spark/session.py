@@ -27,12 +27,13 @@ def get_spark(
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    set_master: bool = True,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession with engine defaults.
 
-    ``cores=None`` → ``local[$SPARK_GRAFT_CPUS or *]``. On a real cluster the
-    master is taken from the environment (spark-submit); the confs below are
-    master-agnostic.
+    ``cores=None`` → ``local[$SPARK_GRAFT_CPUS or *]``.  Under
+    ``spark-submit`` pass ``set_master=False`` so the launcher's ``--master``
+    wins (jobs/dedupe_job.py does); the confs below are master-agnostic.
     """
     if cores is None:
         env_cores = os.environ.get("SPARK_GRAFT_CPUS")
@@ -44,9 +45,11 @@ def get_spark(
         os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
     )
 
+    builder = SparkSession.builder.appName(app_name)
+    if set_master:
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
+        builder
         # --- adaptive execution: runtime re-planning for skew + small shuffles
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
