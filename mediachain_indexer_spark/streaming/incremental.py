@@ -153,3 +153,28 @@ def incremental_dedupe_stream(
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
     )
+
+
+def entity_ingest_stream(
+    docs_stream: DataFrame,
+    store_root: str,
+    checkpoint_dir: str,
+    n_buckets: int = 16,
+):
+    """The full incremental-ER ingest as a stream: each micro-batch of
+    spans documents runs plans/ingest.ingest_increment against the
+    persistent store (features/blocks/entities, MERGE-upserted), so the
+    entity table converges to exactly the batch pipeline's answer as
+    increments arrive (equivalence: tests/test_ingest_increment.py).
+    Streaming checkpoint + per-key MERGE idempotence together give
+    effectively-once ingest under at-least-once batch replay."""
+    from mediachain_indexer_spark.plans.ingest import EntityStore, ingest_increment
+
+    store = EntityStore(store_root, n_buckets)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ingest_increment(batch_df, store)
+
+    return incremental_dedupe_stream(docs_stream, process, checkpoint_dir)
