@@ -131,6 +131,34 @@ def _er_matches_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _er_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest flagship (plans/ingest.py): the 500-doc corpus is
+    folded into a fresh store in two hash-interleaved increments; the
+    returned entity table is EXACTLY the one-shot batch clustering
+    (equivalence + idempotent-replay proofs: tests/test_ingest_increment.py).
+    Rows-only for the driver: the store mutates per run."""
+    import shutil
+
+    from pyspark.sql import functions as _F
+
+    from mediachain_indexer_spark.plans.ingest import (
+        EntityStore,
+        ingest_increment,
+        read_store_entities,
+    )
+    from mediachain_indexer_spark.sources.fixtures import write_corpus
+    from mediachain_indexer_spark.sources.io import read_documents
+
+    paths = write_corpus(os.path.join(_REPO, ".cache", "fx500"), 500)
+    docs = read_documents(spark, paths["spans_documents"])
+    root = os.path.join(_REPO, ".cache", "inc_store_driver")
+    shutil.rmtree(root, ignore_errors=True)
+    store = EntityStore(root)
+    ingest_increment(docs.where(_F.xxhash64("doc_id") % 2 == 0), store)
+    ingest_increment(docs.where(_F.xxhash64("doc_id") % 2 != 0), store)
+    return read_store_entities(spark, store)
+
+
 def _er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mediachain_indexer_spark.plans.pipeline import run_pipeline
 
@@ -179,6 +207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "er_matches": _er_matches,
             "er_matches_grouped": _er_matches_grouped,
             "er_clusters": _er_clusters,
+            "er_incremental_clusters": _er_incremental_clusters,
             "er_eval_f1": _er_eval_f1,
         }
     )
