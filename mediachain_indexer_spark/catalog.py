@@ -504,6 +504,34 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "scalar_funcs_misc",
+    """
+    SELECT o_orderkey,
+           TRANSLATE(o_orderpriority, '-', '_') AS prio_t,
+           SHA256(o_orderstatus || '|' || o_orderpriority) AS sp_sha,
+           ROUND(LOG2(o_totalprice), 4) AS price_log2,
+           CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month_start
+    FROM orders WHERE o_orderkey % 200 = 0
+    """,
+)
+def scalar_funcs_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remaining SURVEY §2.2 scalar stragglers in one oracle query:
+    translate, sha2(·,256), log2, date_trunc-to-month.  (soundex — the
+    optional extra block key — has no DuckDB twin; it is pytest-checked in
+    test_dedup_similarity.py.)"""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 200 == 0)
+    return o.select(
+        "o_orderkey",
+        F.translate("o_orderpriority", "-", "_").alias("prio_t"),
+        F.sha2(
+            F.concat_ws("|", "o_orderstatus", "o_orderpriority"), 256
+        ).alias("sp_sha"),
+        F.round(F.log2("o_totalprice"), 4).alias("price_log2"),
+        F.trunc("o_orderdate", "month").alias("month_start"),
+    )
+
+
+@_q(
     "map_funcs_event_props",
     """
     SELECT event_id,

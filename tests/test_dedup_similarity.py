@@ -182,3 +182,14 @@ def test_hyperplane_buckets_shape(spark, vec_df):
     assert len(rows) == 30
     for r in rows:
         assert len(r["bucket"]) == 8 and set(r["bucket"]) <= {"0", "1"}
+
+
+def test_soundex_optional_block_key(spark):
+    """SURVEY §2.2 lists soundex as an optional extra block key — phonetic
+    collisions group spelling variants that n-gram keys can miss."""
+    df = spark.createDataFrame(
+        [("a", "Robert"), ("b", "Rupert"), ("c", "Ashcraft")], "id string, w string"
+    )
+    got = {r["id"]: r["sx"] for r in df.select("id", F.soundex("w").alias("sx")).collect()}
+    assert got["a"] == got["b"] == "R163"  # classic phonetic pair
+    assert got["c"].startswith("A")

@@ -76,8 +76,17 @@ def test_streaming_tumbling_counts_rate_source(spark):
         .start()
     )
     try:
-        q.processAllAvailable()
-        rows = spark.sql("select * from tumbling_test").collect()
+        # rate source emits nothing in its first instants — poll like the
+        # other rate-source tests (single-shot was flaky under suite load)
+        import time
+
+        rows = []
+        for _ in range(20):
+            q.processAllAvailable()
+            rows = spark.sql("select * from tumbling_test").collect()
+            if rows:
+                break
+            time.sleep(0.5)
     finally:
         q.stop()
     assert {c for c in ["window_start", "window_end", "event_type", "n_events"]} <= set(
