@@ -1041,6 +1041,18 @@ def dedup_minhash_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_duplicates(load_table(spark, sf_dir, "documents"))
 
 
+@_q("dedup_minhash_verified_docs")
+def dedup_minhash_verified_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates refined by the exact-Jaccard verify tier (≥ 0.5):
+    the web-scale answer to the recall-biased (b=16, r=4) S-curve —
+    banding bounds candidates, verification bounds false positives."""
+    from mediachain_indexer_spark.operators.dedup import minhash_near_duplicates
+
+    return minhash_near_duplicates(
+        load_table(spark, sf_dir, "documents"), verify_jaccard=0.5
+    )
+
+
 @_q("dedup_simhash_docs")
 def dedup_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mediachain_indexer_spark.operators.dedup import simhash64

@@ -74,12 +74,22 @@ def minhash_near_duplicates(
     rows_per_band: int = 4,
     shingle_n: int = 5,
     seed: int = 42,
+    verify_jaccard: float | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash-LSH banding.
 
     shingle → MinHash (vectorized Arrow UDF) → band → bucket self-join →
     distinct pairs.  The same (b, r) S-curve machinery as the ER blocking
     stage, packaged for flat text tables.
+
+    ``verify_jaccard``: the (b=16, r=4) S-curve is recall-biased (its 50%
+    threshold sits near s≈0.5, so low-similarity junk collides at web
+    scale).  When set, candidates are REFINED with the exact shingle
+    Jaccard — computed per candidate pair via two narrow joins against the
+    per-doc gram sets (never a cross join; cost is O(candidates)), keeping
+    only pairs with true similarity ≥ the cut.  This is the classic
+    LSH→verify tier: banding bounds the candidate count, verification
+    bounds the false-positive rate.
     """
     mh = make_minhash_udf(bands * rows_per_band, shingle_n, seed)
     sig = docs.select(
@@ -109,12 +119,37 @@ def minhash_near_duplicates(
     b = banded.select("band_key", F.col("doc_id").alias("doc_b"))
     # the join shuffles by band_key itself (EnsureRequirements); an explicit
     # repartition here would just add a redundant exchange
-    return (
+    cand = (
         a.join(b, "band_key")
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    if verify_jaccard is None:
+        return cand
+    grams = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(
+                        F.length(norm_text(F.col(text_col))) - shingle_n, F.lit(0)
+                    ),
+                ),
+                lambda i: norm_text(F.col(text_col)).substr(
+                    i + F.lit(1), F.lit(shingle_n)
+                ),
+            )
+        ).alias("g"),
+    )
+    ga = grams.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("ga"))
+    gb = grams.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("gb"))
+    verified = cand.join(ga, "doc_a").join(gb, "doc_b")
+    inter = F.size(F.array_intersect("ga", "gb"))
+    union = F.size(F.array_union("ga", "gb"))
+    jac = F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
+    return verified.where(jac >= verify_jaccard).select("doc_a", "doc_b")
 
 
 def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:

@@ -193,3 +193,23 @@ def test_soundex_optional_block_key(spark):
     got = {r["id"]: r["sx"] for r in df.select("id", F.soundex("w").alias("sx")).collect()}
     assert got["a"] == got["b"] == "R163"  # classic phonetic pair
     assert got["c"].startswith("A")
+
+
+def test_minhash_verify_tier_prunes_junk(spark, text_docs):
+    """LSH→verify: the verified pair set is a subset of the raw candidates,
+    keeps the true near-dups, and drops low-similarity collisions."""
+    raw = {
+        (r["doc_a"], r["doc_b"]) for r in minhash_near_duplicates(text_docs).collect()
+    }
+    verified = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_near_duplicates(text_docs, verify_jaccard=0.5).collect()
+    }
+    assert verified <= raw
+    assert ("d1", "d2") in verified and ("d1", "d5") in verified  # exact dupes
+    assert ("d1", "d3") in verified  # one-word change, high true Jaccard
+    strict = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_near_duplicates(text_docs, verify_jaccard=0.999).collect()
+    }
+    assert ("d1", "d3") not in strict  # verify cut actually binds
