@@ -101,8 +101,14 @@ HEADLINE = (
     "window_top3_orders_per_customer",
     "window_tumbling_events_10min",
     "embedding_cosine_topk",
+    "similarity_ivf_topk",
     "dedup_exact_by_prefix",
 )
+# dedup_minhash_verified_docs is correctness-checked at sf0.01 but excluded
+# from the sf0.1 headline: exact-Jaccard verification of the ~394k raw LSH
+# candidates is the dominant cost by design (~18s at sf0.1 after the
+# hashed-gram numpy kernel; was 85s with interpreted array_intersect) and
+# would swamp the bench wall the driver compares round-over-round.
 
 
 def bench_queries(spark, sf_dir: str) -> dict[str, float]:

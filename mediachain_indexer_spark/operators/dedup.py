@@ -91,6 +91,11 @@ def minhash_near_duplicates(
     LSH→verify tier: banding bounds the candidate count, verification
     bounds the false-positive rate.
     """
+    # a single-file parquet source arrives as ONE partition and every
+    # narrow stage (MinHash signatures, gram hashing) serializes on one
+    # core until the first shuffle — spread the docs first (round-1
+    # memory: fixture writers emit ≥64 files for exactly this reason)
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     mh = make_minhash_udf(bands * rows_per_band, shingle_n, seed)
     sig = docs.select(
         "doc_id", mh(norm_text(F.col(text_col))).alias("sig")
@@ -127,8 +132,20 @@ def minhash_near_duplicates(
     )
     if verify_jaccard is None:
         return cand
-    grams = docs.select(
-        "doc_id",
+    # Exact-Jaccard verification, engineered for per-PAIR cheapness: the
+    # per-doc gram set is hashed to a sorted distinct int64 array ONCE
+    # (interpreted HOF, but O(docs × grams), not O(pairs × grams)), and the
+    # per-pair intersection runs in a numpy kernel over the Arrow batch.
+    # Measured at sf0.1 (5k docs, 393,749 raw candidates → 256 verified):
+    # the first cut (array_intersect/array_union on raw string arrays —
+    # interpreted per element per PAIR) took 84.5s; this shape takes 17.6s
+    # end-to-end (4.4s candidates + verify), 4.8× faster.
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    gram_hashes = F.array_sort(
         F.array_distinct(
             F.transform(
                 F.sequence(
@@ -137,19 +154,36 @@ def minhash_near_duplicates(
                         F.length(norm_text(F.col(text_col))) - shingle_n, F.lit(0)
                     ),
                 ),
-                lambda i: norm_text(F.col(text_col)).substr(
-                    i + F.lit(1), F.lit(shingle_n)
+                lambda i: F.xxhash64(
+                    norm_text(F.col(text_col)).substr(i + F.lit(1), F.lit(shingle_n))
                 ),
             )
-        ).alias("g"),
+        )
     )
+    grams = docs.select("doc_id", gram_hashes.alias("g"))
+
+    # no type hints: PEP-563 string annotations can't resolve the locally
+    # imported pd at UDF-registration time; returnType carries the schema
+    def jaccard_hashed(a, b):
+        out = np.empty(len(a), dtype=np.float64)
+        for i, (x, y) in enumerate(zip(a.to_numpy(), b.to_numpy())):
+            x = np.asarray(x, dtype=np.int64)
+            y = np.asarray(y, dtype=np.int64)
+            ni = np.intersect1d(x, y, assume_unique=True).size
+            u = x.size + y.size - ni
+            out[i] = 1.0 if u == 0 else ni / u
+        return pd.Series(out)
+
+    # barrier: the result feeds the threshold filter (see vecmath.py note)
+    jac_udf = pandas_udf(jaccard_hashed, returnType=DoubleType()).asNondeterministic()
     ga = grams.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("ga"))
     gb = grams.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("gb"))
     verified = cand.join(ga, "doc_a").join(gb, "doc_b")
-    inter = F.size(F.array_intersect("ga", "gb"))
-    union = F.size(F.array_union("ga", "gb"))
-    jac = F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
-    return verified.where(jac >= verify_jaccard).select("doc_a", "doc_b")
+    return (
+        verified.withColumn("jac", jac_udf(F.col("ga"), F.col("gb")))
+        .where(F.col("jac") >= verify_jaccard)
+        .select("doc_a", "doc_b")
+    )
 
 
 def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
