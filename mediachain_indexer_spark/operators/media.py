@@ -110,6 +110,121 @@ def compute_media_phashes(media: DataFrame, partitions: int | None = None) -> Da
     return slim.mapInPandas(phash_media_batches, PHASH_RESULT_SCHEMA)
 
 
+RESIZE_RESULT_SCHEMA = (
+    "media_ref string, content binary, width int, height int, decode_ok boolean"
+)
+
+
+def make_resize_batches(width: int, height: int):
+    """mapInPandas worker factory: (media_ref, content) → re-encoded bytes at
+    (width, height).  Production: PIL decode → resize → encode.  Sandbox: the
+    stub decoder's fake pixel array is bilinearly block-averaged to the
+    target grid and re-encoded as raw bytes — deterministic, correct batch
+    shape, real Arrow plumbing; rows whose decode fails pass through with
+    decode_ok=false and the original bytes (the standard skip-don't-crash
+    policy for corrupt media at scale)."""
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_bytes, ws, hs, oks = [], [], [], []
+            for content in pdf["content"]:
+                try:
+                    img = _decode_image_stub(content)  # (32, 32) float64
+                    # block-average "resize" onto the target grid
+                    yi = (np.arange(height) * img.shape[0] // height).clip(
+                        0, img.shape[0] - 1
+                    )
+                    xi = (np.arange(width) * img.shape[1] // width).clip(
+                        0, img.shape[1] - 1
+                    )
+                    small = img[np.ix_(yi, xi)].astype(np.uint8)
+                    out_bytes.append(small.tobytes())
+                    ws.append(width)
+                    hs.append(height)
+                    oks.append(True)
+                except NotImplementedError:
+                    out_bytes.append(content)
+                    ws.append(None)
+                    hs.append(None)
+                    oks.append(False)
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"],
+                    "content": out_bytes,
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "decode_ok": oks,
+                }
+            )
+
+    return resize_batches
+
+
+def resize_media(
+    media: DataFrame, width: int = 8, height: int = 8, partitions: int | None = None
+) -> DataFrame:
+    """Distributed media resize: binary in, resized binary out (1→1 rows)."""
+    slim = media.select("media_ref", "content")
+    if partitions:
+        slim = slim.repartition(partitions, "media_ref")
+    return slim.mapInPandas(
+        make_resize_batches(width, height), RESIZE_RESULT_SCHEMA
+    )
+
+
+FRAME_RESULT_SCHEMA = (
+    "media_ref string, frame_idx int, frame binary, decode_ok boolean"
+)
+
+
+def make_frame_sample_batches(n_frames: int):
+    """mapInPandas worker factory for 1→N frame sampling: each video asset
+    expands into n_frames rows.  Production: container demux + keyframe
+    sampling; sandbox: the stub derives frame f deterministically as a
+    rotated view of the fake pixel buffer.  The Spark-side contract under
+    test is the ROW EXPANSION (output cardinality != input — the shape a
+    video pipeline actually needs), the Arrow batch schema, and the
+    skip-don't-crash policy."""
+
+    def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            refs, idxs, frames, oks = [], [], [], []
+            for ref, content in zip(pdf["media_ref"], pdf["content"]):
+                try:
+                    img = _decode_image_stub(content)
+                    buf = img.astype(np.uint8).ravel()
+                    for f in range(n_frames):
+                        refs.append(ref)
+                        idxs.append(f)
+                        frames.append(np.roll(buf, f * 17).tobytes())
+                        oks.append(True)
+                except NotImplementedError:
+                    refs.append(ref)
+                    idxs.append(0)
+                    frames.append(None)
+                    oks.append(False)
+            yield pd.DataFrame(
+                {
+                    "media_ref": refs,
+                    "frame_idx": pd.array(idxs, dtype="Int32"),
+                    "frame": frames,
+                    "decode_ok": oks,
+                }
+            )
+
+    return frame_batches
+
+
+def sample_media_frames(
+    media: DataFrame, n_frames: int = 4, partitions: int | None = None
+) -> DataFrame:
+    """Distributed frame sampling: each asset expands to n_frames rows."""
+    slim = media.select("media_ref", "content")
+    if partitions:
+        slim = slim.repartition(partitions, "media_ref")
+    return slim.mapInPandas(make_frame_sample_batches(n_frames), FRAME_RESULT_SCHEMA)
+
+
 def media_meta_stats(media: DataFrame) -> DataFrame:
     """Typed-metadata rollup — runs fully JVM-side off the meta struct,
     never touching the binary payload (column pruning keeps the scan slim)."""

@@ -289,3 +289,41 @@ def test_stream_exact_dedup_counts_stateful(spark, tmp_path):
     assert counts == {3, 1}  # 'same text' seen 3×, 'other text' once
     same_key = [k for k, v in by_key.items() if max(v)[0] == 3][0]
     assert max(by_key[same_key])[1] == "a1"  # first-seen representative kept
+
+
+def test_media_resize_mapinpandas(spark):
+    """1→1 resize plumbing: resized bytes have the target pixel count,
+    deterministic across runs; null content passes through flagged."""
+    from mediachain_indexer_spark.operators.media import resize_media
+
+    rows = [
+        ("m1", b"abcdefgh" * 10, ("image/png", 32, 32, 80)),
+        ("m2", None, ("image/png", None, None, 0)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_ref"]: r for r in resize_media(media, 8, 8).collect()}
+    assert got["m1"]["decode_ok"] and len(got["m1"]["content"]) == 64
+    assert got["m1"]["width"] == 8 and got["m1"]["height"] == 8
+    assert not got["m2"]["decode_ok"] and got["m2"]["content"] is None
+    again = {r["media_ref"]: r for r in resize_media(media, 8, 8).collect()}
+    assert again["m1"]["content"] == got["m1"]["content"]  # deterministic
+
+
+def test_media_frame_sampling_expands_rows(spark):
+    """1→N frame sampling: each decodable asset expands to n_frames rows
+    with distinct frame bytes; failed decode yields one flagged row."""
+    from mediachain_indexer_spark.operators.media import sample_media_frames
+
+    rows = [
+        ("v1", b"framedata" * 20, ("video/mp4", None, None, 180)),
+        ("v2", None, ("video/mp4", None, None, 0)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = sample_media_frames(media, n_frames=4).collect()
+    v1 = sorted(
+        (r for r in out if r["media_ref"] == "v1"), key=lambda r: r["frame_idx"]
+    )
+    assert [r["frame_idx"] for r in v1] == [0, 1, 2, 3]
+    assert len({bytes(r["frame"]) for r in v1}) == 4  # frames differ
+    v2 = [r for r in out if r["media_ref"] == "v2"]
+    assert len(v2) == 1 and not v2[0]["decode_ok"]
