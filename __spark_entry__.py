@@ -10,8 +10,9 @@ components) emits the entity table.
 ``queries()`` / ``oracle_sql()`` — operator catalog from SURVEY.md §2.2
 (mediachain_indexer_spark/catalog.py) checked against DuckDB; plus rows-only
 entries for the non-SQL-expressible ER stages (MinHash/LSH blocking,
-candidate pairs, connected components) whose oracles are pytest-side
-(networkx, brute force — tests/).
+candidate pairs, connected components, the per-block applyInPandas scoring
+fallback, incremental ingest) whose oracles are pytest-side (networkx,
+brute force, batch-equivalence — tests/).
 """
 
 from __future__ import annotations
