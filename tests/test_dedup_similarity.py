@@ -213,3 +213,29 @@ def test_minhash_verify_tier_prunes_junk(spark, text_docs):
         for r in minhash_near_duplicates(text_docs, verify_jaccard=0.999).collect()
     }
     assert ("d1", "d3") not in strict  # verify cut actually binds
+
+
+def test_rolling_fingerprint_properties(spark):
+    """Content-id contract for both impls: deterministic, equal for equal
+    normalized text, (near-certainly) distinct for different text, and the
+    numpy kernel agrees with itself across invocations."""
+    from mediachain_indexer_spark.operators.textstats import rolling_fingerprint
+
+    rows = [
+        ("a", "the quick brown fox jumps over the lazy dog"),
+        ("b", "The QUICK brown fox  jumps over the lazy dog!"),  # same after norm
+        ("c", "a completely different document body"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    for impl in ("numpy", "jvm"):
+        got = {
+            r["doc_id"]: (r["fingerprint"], r["fingerprint_hi"])
+            for r in rolling_fingerprint(df, impl=impl).collect()
+        }
+        assert got["a"] == got["b"], impl
+        assert got["a"] != got["c"], impl
+        again = {
+            r["doc_id"]: (r["fingerprint"], r["fingerprint_hi"])
+            for r in rolling_fingerprint(df, impl=impl).collect()
+        }
+        assert again == got, impl
