@@ -89,7 +89,9 @@ def phash_media_batches(
                 img = _decode_image_stub(content)
                 hashes.append(_phash_of_gray(img))
                 oks.append(True)
-            except NotImplementedError:
+            except Exception:
+                # skip-don't-crash: ANY corrupt payload (None, empty/short
+                # bytes, malformed container) marks the row, never the task
                 hashes.append(None)
                 oks.append(False)
         yield pd.DataFrame(
@@ -142,7 +144,7 @@ def make_resize_batches(width: int, height: int):
                     ws.append(width)
                     hs.append(height)
                     oks.append(True)
-                except NotImplementedError:
+                except Exception:  # skip-don't-crash on ANY corrupt payload
                     out_bytes.append(content)
                     ws.append(None)
                     hs.append(None)
@@ -198,7 +200,7 @@ def make_frame_sample_batches(n_frames: int):
                         idxs.append(f)
                         frames.append(np.roll(buf, f * 17).tobytes())
                         oks.append(True)
-                except NotImplementedError:
+                except Exception:  # skip-don't-crash on ANY corrupt payload
                     refs.append(ref)
                     idxs.append(0)
                     frames.append(None)

@@ -69,7 +69,10 @@ def cosine_topk_bruteforce(
             F.posexplode(cos_all(F.col(vec_col))).alias("qpos", "cosine_raw"),
         )
         .select(
-            F.element_at(qid_lit, F.col("qpos") + 1).alias("query_id"),
+            # explicit long: Python ints within int32 range make the literal
+            # array IntegerType, which would disagree with the empty-query
+            # branch's declared `query_id long` and ivf_topk's long output
+            F.element_at(qid_lit, F.col("qpos") + 1).cast("long").alias("query_id"),
             "neighbor_id",
             F.round("cosine_raw", round_digits).alias("cosine"),
         )

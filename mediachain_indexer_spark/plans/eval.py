@@ -82,22 +82,42 @@ def grid_search_thresholds(
     thresholds*.  Sweeping combos outside that envelope would evaluate
     degraded text_sim and report F1 the pipeline would not actually produce.
     Pass ``scored_cfg`` (the ScoringConfig the ``scored`` frame was produced
-    with) and the sweep asserts dominance: the scored config's radius must
-    be ≥ every swept radius and its floor/τ ≤ every swept floor/τ — i.e.
-    score once with the most permissive grid corner, then sweep.
+    with) and the sweep asserts dominance per threshold, in the direction
+    each gate actually opens:
+
+    - radius: scored ≥ every swept radius (JW + exact-lev computed for every
+      hamming any swept radius admits);
+    - floor: scored ≥ every swept **floor** — the JW gate *skips* rows with
+      lev_sorted ≥ scored floor (their decision is already sealed at that
+      floor), so a HIGHER swept floor would need JW on rows where only the
+      lev fallback was stored and F1 would silently misreport (a scored
+      floor of 0.4 swept at 0.6 calls a ham=2/lev_sorted=0.45/jw=0.95 row a
+      non-match that the real 0.6-configured pipeline accepts);
+    - τ: scored ≤ every swept τ (the lev/JW τ-gates use ≥ 2τ−1 lower cuts).
+
+    I.e. score once at (max radius, max floor, min τ), then sweep.
     """
     if scored_cfg is not None:
         assert scored_cfg.hamming_radius >= max(hamming_radii), (
             "scored_cfg.hamming_radius must dominate the sweep: gated rows "
             f"assume radius {scored_cfg.hamming_radius} < swept {max(hamming_radii)}"
         )
-        assert scored_cfg.text_floor <= min(text_floors), (
-            "scored_cfg.text_floor must be <= every swept floor"
+        assert scored_cfg.text_floor >= max(text_floors), (
+            "scored_cfg.text_floor must be >= every swept floor: the JW gate "
+            "skips rows with lev_sorted >= the scored floor, so a higher "
+            "swept floor would evaluate the lev fallback instead of true jw"
         )
         assert scored_cfg.text_only_threshold <= min(text_onlys), (
             "scored_cfg.text_only_threshold must be <= every swept tau"
         )
-    j = labels.join(scored, ["doc_a", "doc_b"], "inner")
+    # project the scored side to its decision inputs: a full score_pairs
+    # frame carries its own is_match/score, which would collide with the
+    # labels' ground-truth is_match in the join
+    j = labels.select("doc_a", "doc_b", "is_match").join(
+        scored.select("doc_a", "doc_b", "text_sim", "min_hamming"),
+        ["doc_a", "doc_b"],
+        "inner",
+    )
     aggs = []
     combos = []
     for r in hamming_radii:

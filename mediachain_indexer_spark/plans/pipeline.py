@@ -75,14 +75,38 @@ def run_pipeline(
     if cfg.scoring_strategy == "grouped":
         from mediachain_indexer_spark.operators.scoring import score_pairs_in_blocks
 
-        features = features.persist()
-        blocks = build_blocks(features, cfg.blocking)
-        scored = score_pairs_in_blocks(
-            blocks, features, cfg.scoring, cfg.pairs.max_block_size
-        ).persist()
+        if runner is not None:
+            # same checkpoint/lineage contract as the join path; there is no
+            # separate "pairs" stage — pair generation happens inside the
+            # per-block scorer, so the scored table IS the pair ledger
+            features = runner.run("normalize", lambda: features, key_col="doc_id")
+            blocks = runner.run(
+                "block", lambda: build_blocks(features, cfg.blocking),
+                key_col="block_key",
+            )
+            scored = runner.run(
+                "score",
+                lambda: score_pairs_in_blocks(
+                    blocks, features, cfg.scoring, cfg.pairs.max_block_size
+                ),
+                key_col="doc_a",
+            )
+        else:
+            features = features.persist()
+            blocks = build_blocks(features, cfg.blocking)
+            scored = score_pairs_in_blocks(
+                blocks, features, cfg.scoring, cfg.pairs.max_block_size
+            ).persist()
         pairs = scored.select("doc_a", "doc_b")
         matches = scored.where(F.col("is_match"))
-        clusters = attach_components(docs, connected_components(matches))
+        if runner is not None:
+            clusters = runner.run(
+                "cluster",
+                lambda: attach_components(docs, connected_components(matches)),
+                key_col="entity_id",
+            )
+        else:
+            clusters = attach_components(docs, connected_components(matches))
     elif runner is not None:
         features = runner.run("normalize", lambda: features, key_col="doc_id")
         blocks = runner.run(

@@ -45,6 +45,38 @@ def test_media_null_content_flagged_not_crashed(spark):
     assert out[0]["decode_ok"] is False and out[0]["phash"] is None
 
 
+def test_media_corrupt_bytes_flagged_not_crashed(spark):
+    """Non-None corrupt payloads (empty bytes) must ALSO skip-don't-crash:
+    the decode stub raises ValueError (size-0 reshape) for b'', which used
+    to kill the whole task because only NotImplementedError was caught."""
+    from mediachain_indexer_spark.operators.media import (
+        resize_media,
+        sample_media_frames,
+    )
+
+    rows = [
+        ("bad", b"", {"mime": "image/png", "width": 1, "height": 1, "n_bytes": 0}),
+        ("ok", bytes(range(200)), {"mime": "image/png", "width": 8, "height": 8,
+                                   "n_bytes": 200}),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    ph = {r["media_ref"]: r for r in compute_media_phashes(media).collect()}
+    assert ph["bad"]["decode_ok"] is False and ph["bad"]["phash"] is None
+    assert ph["ok"]["decode_ok"] is True
+
+    rz = {r["media_ref"]: r for r in resize_media(media, 8, 8).collect()}
+    assert rz["bad"]["decode_ok"] is False
+    assert rz["ok"]["decode_ok"] is True and len(rz["ok"]["content"]) == 64
+
+    fr = [r for r in sample_media_frames(media, n_frames=3).collect()]
+    by_ref = {}
+    for r in fr:
+        by_ref.setdefault(r["media_ref"], []).append(r)
+    assert len(by_ref["ok"]) == 3 and all(r["decode_ok"] for r in by_ref["ok"])
+    assert len(by_ref["bad"]) == 1 and by_ref["bad"][0]["decode_ok"] is False
+
+
 def test_media_meta_stats_prunes_binary(spark, tmp_path):
     _media_df(spark).write.mode("overwrite").parquet(str(tmp_path / "media"))
     media = spark.read.parquet(str(tmp_path / "media"))
