@@ -65,8 +65,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # rows-only ER-pipeline entries over the seeded spans corpus (FIXTURES.md §B)
+#
+# The full PipelineResult is memoized PER SESSION and every er_* entry is a
+# slice of it: a driver correctness sweep over all 8 entries used to re-run
+# the normalize→MinHash→block→pair→score DAG ~12× (each entry rebuilt its
+# own prefix), which made the heaviest entries (er_clusters, er_eval_f1,
+# er_incremental_clusters) the most expensive tail of the sweep — round 2's
+# driver ledger dropped exactly those three.  Now the pipeline executes
+# once, on the first er_* entry touched.
 # ---------------------------------------------------------------------------
 _ER_N_DOCS = 2000
+_ER_CACHE: dict = {}
 
 
 def _er_corpus(spark: SparkSession) -> DataFrame:
@@ -77,19 +86,29 @@ def _er_corpus(spark: SparkSession) -> DataFrame:
     return read_documents(spark, paths["spans_documents"])
 
 
-def _er_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mediachain_indexer_spark.operators.normalize import normalize_documents
+def _er_pipeline(spark: SparkSession):
+    """One fx2000 run_pipeline per session, stages persisted for slicing.
 
-    return normalize_documents(_er_corpus(spark)).select(
-        "doc_id", "norm_text", "phashes"
-    )
+    run_pipeline already persists features + scored; blocks is additionally
+    persisted here because two entries (er_candidate_pairs via res.pairs and
+    er_matches_grouped) traverse it independently, and the CC loop inside
+    run_pipeline has already materialized the cluster edges
+    (localCheckpoint), so every slice below is cheap."""
+    key = spark.sparkContext.applicationId
+    if key not in _ER_CACHE:
+        from mediachain_indexer_spark.plans.pipeline import run_pipeline
+
+        res = run_pipeline(_er_corpus(spark))
+        res.blocks = res.blocks.persist()
+        _ER_CACHE[key] = res
+    return _ER_CACHE[key]
 
 
 def _er_normalize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver surface for the normalize stage: the ``phashes`` array is
     projected to a CSV string — the driver's canonicalizer (pandas
     sort_values) cannot hash list-typed cells (round-1 err)."""
-    return _er_features(spark, sf_dir).select(
+    return _er_pipeline(spark).features.select(
         "doc_id",
         "norm_text",
         F.concat_ws(",", F.col("phashes").cast("array<string>")).alias("phashes_csv"),
@@ -97,39 +116,27 @@ def _er_normalize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _er_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mediachain_indexer_spark.operators.blocking import build_blocks
-
-    return build_blocks(_er_features(spark, sf_dir))
+    return _er_pipeline(spark).blocks
 
 
 def _er_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mediachain_indexer_spark.operators.pairs import candidate_pairs
-
-    return candidate_pairs(_er_blocks(spark, sf_dir))
+    return _er_pipeline(spark).pairs
 
 
 def _er_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mediachain_indexer_spark.operators.scoring import score_pairs
-
-    return score_pairs(
-        _er_candidate_pairs(spark, sf_dir), _er_features(spark, sf_dir)
-    ).where(F.col("is_match"))
+    return _er_pipeline(spark).matches
 
 
 def _er_matches_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-block applyInPandas scoring fallback (pairs + exact scores inside
     one Python worker per block) — decision-equivalent to er_matches
-    (tests/test_scoring_grouped.py asserts bit-identical is_match)."""
-    from mediachain_indexer_spark.operators.blocking import build_blocks
+    (tests/test_scoring_grouped.py asserts bit-identical is_match).  Reuses
+    the memoized pipeline's persisted features/blocks; only the grouped
+    scorer itself runs fresh."""
     from mediachain_indexer_spark.operators.scoring import score_pairs_in_blocks
 
-    # persist: features feed BOTH the blocking branch (MinHash UDF) and the
-    # per-block join — unpersisted, the normalize+MinHash DAG re-executes
-    # per branch (measured 76s vs 11.5s persisted at fx2000)
-    feats = _er_features(spark, sf_dir).persist()
-    return score_pairs_in_blocks(build_blocks(feats), feats).where(
-        F.col("is_match")
-    )
+    res = _er_pipeline(spark)
+    return score_pairs_in_blocks(res.blocks, res.features).where(F.col("is_match"))
 
 
 def _er_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -161,9 +168,7 @@ def _er_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mediachain_indexer_spark.plans.pipeline import run_pipeline
-
-    return run_pipeline(_er_corpus(spark)).clusters
+    return _er_pipeline(spark).clusters
 
 
 def _er_eval_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -173,12 +178,11 @@ def _er_eval_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Row
 
     from mediachain_indexer_spark.plans.eval import pairwise_f1
-    from mediachain_indexer_spark.plans.pipeline import run_pipeline
     from mediachain_indexer_spark.sources.fixtures import write_corpus
 
     paths = write_corpus(os.path.join(_REPO, ".cache", f"fx{_ER_N_DOCS}"), _ER_N_DOCS)
     labels = spark.read.parquet(paths["labeled_pairs"])
-    res = run_pipeline(_er_corpus(spark))
+    res = _er_pipeline(spark)
     m = pairwise_f1(labels, res.blocks, res.clusters)
     return spark.createDataFrame(
         [
