@@ -81,6 +81,29 @@ def test_empty_edges(spark, n_edges):
     assert connected_components(df).count() == 0
 
 
+def test_star_violation_counter_rejects_multi_parent_no_chain(spark):
+    """The convergence test must NOT stop at a multi-parent state with no
+    2-hop chain: {(3,1),(5,1),(3,2),(6,2)} has no v appearing as a u, yet
+    node 3 has two parents — it is not a star forest and not a fixpoint.
+    A chain-only test would declare convergence here and emit doc 3 with
+    TWO entity ids while leaving components {1,..} and {2,..} unmerged."""
+    from pyspark.sql import functions as F
+
+    from mediachain_indexer_spark.operators.cluster import _n_star_violations
+
+    e = spark.createDataFrame(
+        [("3", "1"), ("5", "1"), ("3", "2"), ("6", "2")], "u string, v string"
+    )
+    assert _n_star_violations(e) > 0
+    # a genuine star forest passes
+    sf = spark.createDataFrame(
+        [("3", "1"), ("5", "1"), ("6", "2")], "u string, v string"
+    )
+    assert _n_star_violations(sf) == 0
+    # and end-to-end, the same edge set as INPUT must fully merge
+    _check(spark, [("3", "1"), ("5", "1"), ("3", "2"), ("6", "2")])
+
+
 def test_long_path_converges_logarithmically(spark):
     """5k-node path (worst-case diameter): large-star/small-star must
     converge in O(log n) rounds, not O(diameter)."""
