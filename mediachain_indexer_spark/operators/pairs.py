@@ -47,18 +47,33 @@ class PairsConfig:
     materialize_staged: bool = True
 
 
-def _with_block_stats(blocks: DataFrame, cfg: PairsConfig) -> DataFrame:
-    """Attach per-block count + deterministic rank; drop singletons; cap."""
+def cap_blocks(blocks: DataFrame, max_block_size: int) -> DataFrame:
+    """Drop singleton blocks and cap membership per block — THE shared cap
+    rule for every scorer strategy.
+
+    Members are kept by ``xxhash64(doc_id)`` rank (an unbiased
+    pseudo-random but stable sample — not first-seen or lexicographic
+    order), so the join path (candidate_pairs → score_pairs) and the
+    grouped fallback (score_pairs_in_blocks) sample EXACTLY the same
+    members on over-cap blocks and stay bit-identical everywhere, not just
+    on under-cap corpora.  Output keeps a capped ``bsize`` column (used by
+    the salt router); both the count and rank windows share ONE
+    hashpartitioning(block_key) exchange.
+    """
     w = Window.partitionBy("block_key")
     w_rank = w.orderBy(F.xxhash64("doc_id"), F.col("doc_id"))
     return (
         blocks.withColumn("bsize", F.count("*").over(w))
         .withColumn("brank", F.row_number().over(w_rank))
-        .where((F.col("bsize") >= 2) & (F.col("brank") <= cfg.max_block_size))
+        .where((F.col("bsize") >= 2) & (F.col("brank") <= max_block_size))
         # recompute size after the cap so routing below sees capped sizes
-        .withColumn("bsize", F.least(F.col("bsize"), F.lit(cfg.max_block_size)))
+        .withColumn("bsize", F.least(F.col("bsize"), F.lit(max_block_size)))
         .drop("brank")
     )
+
+
+def _with_block_stats(blocks: DataFrame, cfg: PairsConfig) -> DataFrame:
+    return cap_blocks(blocks, cfg.max_block_size)
 
 
 def _plain_pairs(blocks: DataFrame) -> DataFrame:

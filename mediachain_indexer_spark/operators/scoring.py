@@ -222,11 +222,12 @@ def score_pairs_in_blocks(
     ``score_pairs``): when pair explosion makes the materialized pair +
     double-feature-join shuffle the bottleneck — each block's features cross
     the Arrow boundary ONCE and the m(m−1)/2 pairs exist only inside the
-    Python worker.  The trade: blocks are hard-capped (sorted doc_id, first
-    ``max_block_size`` — same cap *size* as pairs.PairsConfig, though the
-    join path ranks by xxhash64 so the sampled members differ on over-cap
-    blocks) and the whole block must fit a worker's memory, so the join path
-    with salted triangle decomposition remains the default
+    Python worker.  The trade: blocks are hard-capped via the SAME
+    ``pairs.cap_blocks`` xxhash64-rank rule as the join path (identical
+    sampled members on over-cap blocks — tests/test_scoring_grouped.py
+    asserts bit-identical pairs + is_match on an over-cap fixture) and the
+    whole block must fit a worker's memory, so the join path with salted
+    triangle decomposition remains the default
     (PipelineConfig.scoring_strategy).
 
     Scores are EXACT (no cascade gating): text_sim/score can differ from the
@@ -252,7 +253,10 @@ def score_pairs_in_blocks(
     radius, floor, tau = cfg.hamming_radius, cfg.text_floor, cfg.text_only_threshold
 
     def score_block(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id").head(max_block_size)
+        # no cap here: membership was already capped Spark-side by the
+        # shared cap_blocks rule — a second (different) cap would desync
+        # the sampled members from the join path on over-cap blocks
+        pdf = pdf.sort_values("doc_id")
         m = len(pdf)
         if m < 2:
             return pd.DataFrame(
@@ -305,16 +309,15 @@ def score_pairs_in_blocks(
             }
         )
 
-    from pyspark.sql import Window
+    from mediachain_indexer_spark.operators.pairs import cap_blocks
 
-    # drop singleton blocks BEFORE the Python boundary: they produce zero
-    # pairs but each would still pay a per-group pandas invocation (the
-    # dominant cost on many-tiny-blocks profiles — most LSH bands are
-    # singletons).  The size window shares hashpartitioning(block_key) with
-    # the applyInPandas grouping, so this adds no extra exchange.
-    sized = blocks.withColumn(
-        "_bsize", F.count("*").over(Window.partitionBy("block_key"))
-    ).where(F.col("_bsize") >= 2)
+    # singleton-drop + membership cap BEFORE the Python boundary, via the
+    # shared cap rule: singletons produce zero pairs but would each pay a
+    # per-group pandas invocation (the dominant cost on many-tiny-blocks
+    # profiles — most LSH bands are singletons), and the xxhash64-rank cap
+    # keeps over-cap membership identical to the join path.  The cap
+    # windows share hashpartitioning(block_key) — one exchange.
+    sized = cap_blocks(blocks, max_block_size)
     joined = sized.join(features, "doc_id").select(
         "block_key", "doc_id", "norm_text", "phashes"
     )

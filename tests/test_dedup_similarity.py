@@ -215,6 +215,53 @@ def test_minhash_verify_tier_prunes_junk(spark, text_docs):
     assert ("d1", "d3") not in strict  # verify cut actually binds
 
 
+def test_minhash_verify_jaccard_is_exact_set_similarity(spark):
+    """The verify tier's batch sorted-merge kernel must compute EXACT shingle
+    Jaccard: cross-check the verified pair set against a pure-Python set
+    computation over the same normalized 5-gram multiset→set."""
+    import random
+
+    from mediachain_indexer_spark.functions.text import norm_text
+
+    rng = random.Random(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+    base = [" ".join(rng.choices(vocab, k=12)) for _ in range(30)]
+    texts = []
+    for i, t in enumerate(base):
+        texts.append((f"o{i:03d}", t))
+        if i % 2 == 0:  # near-dup: perturb one word
+            words = t.split()
+            words[3] = "omega"
+            texts.append((f"p{i:03d}", " ".join(words)))
+    docs = spark.createDataFrame(texts, "doc_id string, text string")
+
+    cut = 0.6
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_near_duplicates(docs, verify_jaccard=cut).collect()
+    }
+    raw = {
+        (r["doc_a"], r["doc_b"]) for r in minhash_near_duplicates(docs).collect()
+    }
+    # python oracle: exact jaccard on normalized 5-gram sets
+    norm = {
+        r["doc_id"]: r["nt"]
+        for r in docs.select("doc_id", norm_text(F.col("text")).alias("nt")).collect()
+    }
+
+    def grams(s):
+        return {s[i : i + 5] for i in range(max(len(s) - 5, 0) + 1)}
+
+    expected = set()
+    for a, b in raw:
+        ga, gb = grams(norm[a]), grams(norm[b])
+        u = len(ga | gb)
+        j = 1.0 if u == 0 else len(ga & gb) / u
+        if j >= cut:
+            expected.add((a, b))
+    assert got == expected
+
+
 def test_rolling_fingerprint_properties(spark):
     """Content-id contract for both impls: deterministic, equal for equal
     normalized text, (near-certainly) distinct for different text, and the

@@ -67,6 +67,45 @@ def test_grouped_matches_join_path(spark, docs500):
     blocks.unpersist()
 
 
+def test_grouped_matches_join_path_over_cap(spark):
+    """Over-cap blocks: both strategies must sample EXACTLY the same members
+    (shared pairs.cap_blocks xxhash64-rank rule) and emit identical pairs +
+    is_match.  20 docs in one block, cap 8 → C(8,2)=28 pairs from the same
+    8 sampled docs."""
+    from mediachain_indexer_spark.operators.pairs import PairsConfig, cap_blocks
+    from mediachain_indexer_spark.operators.scoring import ScoringConfig
+
+    n, cap = 20, 8
+    feats = spark.createDataFrame(
+        [(f"d{i:02d}", f"title number {i} with shared words", [i % 4]) for i in range(n)],
+        "doc_id string, norm_text string, phashes array<long>",
+    )
+    blocks = spark.createDataFrame(
+        [("k0", f"d{i:02d}") for i in range(n)], "block_key string, doc_id string"
+    )
+    cfg = ScoringConfig()
+
+    join_rows = {
+        (r["doc_a"], r["doc_b"]): r["is_match"]
+        for r in score_pairs(
+            candidate_pairs(blocks, PairsConfig(max_block_size=cap)), feats, cfg
+        ).collect()
+    }
+    grouped_rows = {
+        (r["doc_a"], r["doc_b"]): r["is_match"]
+        for r in score_pairs_in_blocks(blocks, feats, cfg, max_block_size=cap).collect()
+    }
+    assert len(join_rows) == cap * (cap - 1) // 2
+    assert set(join_rows) == set(grouped_rows)  # identical sampled membership
+    assert all(join_rows[k] == grouped_rows[k] for k in join_rows)
+    # and the sampled members are the xxhash64-rank winners, not sorted-head
+    kept = {
+        r["doc_id"] for r in cap_blocks(blocks, cap).collect()
+    }
+    in_pairs = {d for k in join_rows for d in k}
+    assert in_pairs == kept
+
+
 def test_grouped_pipeline_end_to_end(spark, docs500, golden500):
     from mediachain_indexer_spark.plans.pipeline import PipelineConfig, run_pipeline
 
