@@ -44,7 +44,17 @@ class ScoringConfig:
 
 
 def min_hamming(a_hashes, b_hashes) -> "F.Column":
-    """min over the cross product of two array<long> phash columns (JVM)."""
+    """min over the cross product of two array<long> phash columns (JVM).
+
+    The nested ``transform`` lambda is interpreted (not codegen), but it is
+    still the right tier: phash arrays are tiny (≤ a few per doc) and the
+    alternative — folding min-Hamming into the existing Arrow crossing —
+    pays to SHIP two array columns per pair.  A/B at 500k docs / 8.4M
+    candidate pairs (local[32], 3 runs each, identical sums): this HOF
+    0.48–0.87s vs an Arrow SWAR-popcount pandas_udf 2.38–2.56s — the
+    transfer costs ~5× the interpreted evaluation.  Same economics as the
+    cosine-kernel bake-off in functions/vecmath.py.
+    """
     cross = F.flatten(
         F.transform(
             a_hashes,

@@ -64,3 +64,69 @@ def test_cap_is_deterministic(spark):
     a = sorted(map(tuple, candidate_pairs(blocks, cfg).collect()))
     b = sorted(map(tuple, candidate_pairs(blocks, cfg).collect()))
     assert a == b
+
+
+def test_banding_decisions_agree_across_minhash_impls(spark):
+    """Property: the numpy pandas_udf MinHash (hot path) and the pure-JVM
+    HOF MinHash (reference impl) use DIFFERENT hash families, so signatures
+    differ — but their BANDING DECISIONS must agree where the S-curve is
+    deterministic: exact-duplicate texts always co-block (identical text →
+    identical signature → every band collides), and strongly-distinct texts
+    co-block under neither (collision probability ≈ bands · 2⁻⁶⁴ per hash
+    family).  Pairs in the probabilistic middle of the S-curve (moderate
+    Jaccard) are deliberately NOT generated — there the two hash families
+    may legitimately disagree (hypothesis found exactly that with
+    repeated-word texts whose cross-index shingle Jaccard ≈ 0.45).
+    Guards the hot-path swap (BlockingConfig.jvm_minhash)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mediachain_indexer_spark.operators.blocking import BlockingConfig
+
+    vocab = ["amber", "birch", "cobalt", "dune", "ember", "fjord", "grove"]
+
+    def caesar(word: str, k: int) -> str:
+        # per-index alphabet: distinct texts share (almost) no shingles,
+        # pushing band-collision probability to ~J^r ≈ 0
+        return "".join(chr((ord(c) - 97 + k) % 26 + 97) for c in word)
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        st.lists(
+            st.lists(st.sampled_from(vocab), min_size=8, max_size=14),
+            min_size=3,
+            max_size=6,
+        )
+    )
+    def prop(word_lists):
+        rows = []
+        expected_pairs = set()
+        for i, words in enumerate(word_lists):
+            text = " ".join(caesar(w, i) for w in words)
+            rows.append((f"d{i:02d}a", text, None))
+            rows.append((f"d{i:02d}b", text, None))
+            expected_pairs.add((f"d{i:02d}a", f"d{i:02d}b"))
+        feats = spark.createDataFrame(
+            rows, "doc_id string, norm_text string, phashes array<long>"
+        )
+
+        def coblocked(jvm: bool) -> set:
+            cfg = BlockingConfig(jvm_minhash=jvm, use_exact_text_key=False)
+            b = build_blocks(feats, cfg)
+            left = b.select("block_key", F.col("doc_id").alias("doc_a"))
+            right = b.select("block_key", F.col("doc_id").alias("doc_b"))
+            return {
+                (r["doc_a"], r["doc_b"])
+                for r in left.join(right, "block_key")
+                .where(F.col("doc_a") < F.col("doc_b"))
+                .select("doc_a", "doc_b")
+                .distinct()
+                .collect()
+            }
+
+        jvm_pairs = coblocked(True)
+        np_pairs = coblocked(False)
+        assert jvm_pairs == expected_pairs
+        assert np_pairs == expected_pairs
+
+    prop()
