@@ -10,7 +10,7 @@ components) emits the entity table.
 ``queries()`` / ``oracle_sql()`` — operator catalog from SURVEY.md §2.2
 (mediachain_indexer_spark/catalog.py) checked against DuckDB; plus rows-only
 entries for the non-SQL-expressible ER stages (MinHash/LSH blocking,
-candidate pairs, connected components, the per-block applyInPandas scoring
+candidate pairs, connected components, the per-block in-worker scoring
 fallback, incremental ingest) whose oracles are pytest-side (networkx,
 brute force, batch-equivalence — tests/).
 """
@@ -128,8 +128,8 @@ def _er_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _er_matches_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-block applyInPandas scoring fallback (pairs + exact scores inside
-    one Python worker per block) — decision-equivalent to er_matches
+    """Per-block in-worker scoring fallback (block-sorted mapInPandas: pairs
+    + exact scores inside the Python worker) — decision-equivalent to er_matches
     (tests/test_scoring_grouped.py asserts bit-identical is_match).  Reuses
     the memoized pipeline's persisted features/blocks; only the grouped
     scorer itself runs fresh."""
@@ -162,8 +162,17 @@ def _er_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = os.path.join(_REPO, ".cache", "inc_store_driver")
     shutil.rmtree(root, ignore_errors=True)
     store = EntityStore(root)
-    ingest_increment(docs.where(_F.xxhash64("doc_id") % 2 == 0), store)
-    ingest_increment(docs.where(_F.xxhash64("doc_id") % 2 != 0), store)
+    # the whole store is 500 docs: every shuffle in the two ingests (upsert
+    # joins, pair join, CC rounds) is latency-bound, so run them at a narrow
+    # width instead of the 100TB-sized session default (restored after) —
+    # measured 34s → much less at local[32], purely task-launch overhead
+    old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        ingest_increment(docs.where(_F.xxhash64("doc_id") % 2 == 0), store)
+        ingest_increment(docs.where(_F.xxhash64("doc_id") % 2 != 0), store)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
     return read_store_entities(spark, store)
 
 

@@ -34,9 +34,18 @@ def _corpus_path(n_docs: int) -> dict[str, str]:
     return write_corpus(os.path.join(REPO, ".cache", f"fx{n_docs}"), n_docs)
 
 
-def bench_er(spark, n_docs: int) -> dict:
+def bench_er(spark, n_docs: int, warmup_docs: int = 3000) -> dict:
     """Stage-by-stage timed run: each stage is persisted + counted before the
-    next starts, so every wall number measures exactly one stage's work."""
+    next starts, so every wall number measures exactly one stage's work.
+
+    ``warmup_docs``: a small full-pipeline run executes BEFORE the clock
+    starts, so the timed walls measure steady-state engine throughput, not
+    one-time session costs (whole-stage codegen compilation, Python worker
+    pool spawn, Arrow init) — those constants are identical at every
+    parallelism level and would otherwise dominate the N-vs-4N e2e ratio
+    (measured: the first-stage wall carried a ~5s floor at BOTH 4 and 16
+    cores).  Set 0 to include cold-start in the measurement.
+    """
     from pyspark.sql import functions as F
 
     from mediachain_indexer_spark.operators.blocking import build_blocks
@@ -48,6 +57,15 @@ def bench_er(spark, n_docs: int) -> dict:
     from mediachain_indexer_spark.operators.pairs import candidate_pairs
     from mediachain_indexer_spark.operators.scoring import score_pairs
     from mediachain_indexer_spark.sources.io import read_documents
+
+    if warmup_docs:
+        from mediachain_indexer_spark.plans.pipeline import run_pipeline
+
+        wdocs = read_documents(spark, _corpus_path(warmup_docs)["spans_documents"])
+        wres = run_pipeline(wdocs)
+        wres.clusters.count()
+        wres.features.unpersist()
+        wres.scored.unpersist()
 
     paths = _corpus_path(n_docs)
     docs = read_documents(spark, paths["spans_documents"])
@@ -145,6 +163,15 @@ def main() -> None:
         shuffle_partitions=args.shuffle_partitions,
     )
     spark.sparkContext.setLogLevel("ERROR")
+    # input-split sizing for SMALL fixtures: the 500k-doc corpus is 34 MB in
+    # 64 files — under the 128 MB default every scan coalesces to ~3 input
+    # partitions, so narrow pre-shuffle stages (normalize, signature) run on
+    # 3 tasks no matter how many cores the level has, and the N-vs-4N
+    # comparison measures the file packer, not the engine.  2 MB splits give
+    # every level ≥ 2×cores scan tasks; at real scale (files ≫ cores) the
+    # 128 MB default is correct and this knob is a no-op concern.
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "2m")
+    spark.conf.set("spark.sql.files.openCostInBytes", "512k")
 
     queries: dict[str, float] = {}
     if not args.er_only:

@@ -180,7 +180,7 @@ def make_gated_jw(hamming_radius: int, text_floor: float, text_only: float):
 
 # ---------------------------------------------------------------------------
 # Vectorized Levenshtein (numpy batch DP) — used by the per-block
-# applyInPandas scoring fallback (operators/scoring.score_pairs_in_blocks),
+# in-worker scoring fallback (operators/scoring.score_pairs_in_blocks),
 # where the JVM levenshtein built-in isn't reachable.  No truncation: pads to
 # the batch max length.
 # ---------------------------------------------------------------------------

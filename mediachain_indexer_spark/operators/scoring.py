@@ -198,7 +198,7 @@ def score_pairs(
 
 
 # ---------------------------------------------------------------------------
-# Per-block applyInPandas fallback (SURVEY §2.2 UDF table)
+# Per-block in-worker scoring fallback (SURVEY §2.2 UDF table)
 # ---------------------------------------------------------------------------
 _GROUPED_SCHEMA = (
     "doc_a string, doc_b string, text_sim double, min_hamming int, "
@@ -224,34 +224,40 @@ def score_pairs_in_blocks(
     features: DataFrame,
     cfg: ScoringConfig = ScoringConfig(),
     max_block_size: int = 256,
+    max_pairs_per_kernel: int = 65_536,
 ) -> DataFrame:
-    """Fallback scorer: pair generation AND scoring inside one
-    ``applyInPandas`` per block — no pair table ever shuffles.
+    """Fallback scorer: pair generation AND scoring inside the Python
+    worker, per block — no pair table ever shuffles.
 
     When to prefer it over the join path (``candidate_pairs`` +
     ``score_pairs``): when pair explosion makes the materialized pair +
     double-feature-join shuffle the bottleneck — each block's features cross
     the Arrow boundary ONCE and the m(m−1)/2 pairs exist only inside the
-    Python worker.  The trade: blocks are hard-capped via the SAME
-    ``pairs.cap_blocks`` xxhash64-rank rule as the join path (identical
-    sampled members on over-cap blocks — tests/test_scoring_grouped.py
-    asserts bit-identical pairs + is_match on an over-cap fixture) and the
-    whole block must fit a worker's memory, so the join path with salted
-    triangle decomposition remains the default
-    (PipelineConfig.scoring_strategy).
+    Python worker.  Blocks are hard-capped via the SAME ``pairs.cap_blocks``
+    xxhash64-rank rule as the join path (identical sampled members on
+    over-cap blocks — tests/test_scoring_grouped.py asserts bit-identical
+    pairs + is_match on an over-cap fixture).
+
+    Execution shape: ``repartition(block_key) → sortWithinPartitions
+    (block_key, doc_id) → mapInPandas`` — NOT ``groupBy.applyInPandas``.
+    applyInPandas invokes Python once per GROUP, which on a many-tiny-blocks
+    profile (fx2000: 34,742 blocks averaging <2 members) made per-group
+    invocation the dominant cost (~15× slower than the join path).  With
+    rows contiguous by block inside each partition, ``mapInPandas`` sees
+    whole blocks per Arrow batch (a block that straddles a batch boundary is
+    carried into the next batch), builds the triangular pair index for ALL
+    blocks in the batch at once, and runs ONE vectorized kernel sweep
+    (Levenshtein ×2, Jaro-Winkler, padded SWAR min-Hamming) over the
+    concatenated pairs.  ``max_pairs_per_kernel`` bounds kernel memory on
+    few-large-blocks profiles (the DP pads to batch-max string length).
 
     Scores are EXACT (no cascade gating): text_sim/score can differ from the
     join path on rows where the cascade emitted bounds, but ``is_match`` is
     bit-identical — the gates are decision-invariant by construction
     (tests/test_scoring_grouped.py asserts both properties).
-
-    Measured trade-off: on a MANY-TINY-BLOCKS profile (fx2000: 34,742 blocks
-    averaging <2 members) the per-group Python invocation overhead dominates
-    and the join path is ~15× faster; the fallback pays off only when the
-    block-size profile is FEW-LARGE (where the join path's pair table and
-    double feature join dominate instead).  Choose by profile, not by
-    default — hence the config flag.
     """
+    from collections.abc import Iterator
+
     import numpy as np
     import pandas as pd
 
@@ -262,30 +268,27 @@ def score_pairs_in_blocks(
 
     radius, floor, tau = cfg.hamming_radius, cfg.text_floor, cfg.text_only_threshold
 
-    def score_block(pdf: pd.DataFrame) -> pd.DataFrame:
-        # no cap here: membership was already capped Spark-side by the
-        # shared cap_blocks rule — a second (different) cap would desync
-        # the sampled members from the join path on over-cap blocks
-        pdf = pdf.sort_values("doc_id")
-        m = len(pdf)
-        if m < 2:
-            return pd.DataFrame(
-                {
-                    "doc_a": pd.Series(dtype="str"),
-                    "doc_b": pd.Series(dtype="str"),
-                    "text_sim": pd.Series(dtype="float64"),
-                    "min_hamming": pd.Series(dtype="int32"),
-                    "score": pd.Series(dtype="float64"),
-                    "is_match": pd.Series(dtype="bool"),
-                }
-            )
-        ia, ib = np.triu_indices(m, k=1)
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series(dtype="str"),
+                "doc_b": pd.Series(dtype="str"),
+                "text_sim": pd.Series(dtype="float64"),
+                "min_hamming": pd.Series(dtype="int32"),
+                "score": pd.Series(dtype="float64"),
+                "is_match": pd.Series(dtype="bool"),
+            }
+        )
+
+    def _score_pair_indices(pdf: pd.DataFrame, ia: np.ndarray, ib: np.ndarray):
+        """One vectorized sweep over pre-built pair indices into pdf."""
         ta = pdf["norm_text"].fillna("").iloc[ia].reset_index(drop=True)
         tb = pdf["norm_text"].fillna("").iloc[ib].reset_index(drop=True)
 
         # min-Hamming over the phash cross product (pad + SWAR popcount)
         ph = pdf["phashes"].to_numpy()
-        width = max((len(p) if p is not None else 0) for p in ph)
+        m = len(pdf)
+        width = max((len(p) if p is not None else 0) for p in ph) if m else 0
         if width == 0:
             ham = np.full(len(ia), HAMMING_FAR, dtype=np.int64)
         else:
@@ -319,26 +322,82 @@ def score_pairs_in_blocks(
             }
         )
 
+    def _score_whole_blocks(pdf: pd.DataFrame) -> Iterator[pd.DataFrame]:
+        """pdf holds COMPLETE blocks, rows contiguous by block_key and
+        sorted by doc_id within each (sortWithinPartitions).  Builds the
+        per-block triangular indices, then sweeps the kernels over chunks
+        of ≤ max_pairs_per_kernel concatenated pairs."""
+        keys = pdf["block_key"].to_numpy()
+        # run-length block boundaries (keys are contiguous)
+        change = np.nonzero(keys[1:] != keys[:-1])[0] + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [len(keys)]))
+        ia_chunks: list[np.ndarray] = []
+        ib_chunks: list[np.ndarray] = []
+        n_pairs = 0
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2:
+                continue
+            ia, ib = np.triu_indices(m, k=1)
+            ia_chunks.append(ia + s)
+            ib_chunks.append(ib + s)
+            n_pairs += len(ia)
+            if n_pairs >= max_pairs_per_kernel:
+                yield _score_pair_indices(
+                    pdf, np.concatenate(ia_chunks), np.concatenate(ib_chunks)
+                )
+                ia_chunks, ib_chunks, n_pairs = [], [], 0
+        if n_pairs:
+            yield _score_pair_indices(
+                pdf, np.concatenate(ia_chunks), np.concatenate(ib_chunks)
+            )
+
+    def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+        emitted = False
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            # the trailing block may continue in the next Arrow batch:
+            # hold its rows back and score only the complete prefix
+            last_key = pdf["block_key"].iloc[-1]
+            tail = pdf["block_key"].to_numpy() == last_key
+            carry = pdf[tail]
+            body = pdf[~tail]
+            for out in _score_whole_blocks(body):
+                emitted = True
+                yield out
+        if carry is not None and len(carry):
+            for out in _score_whole_blocks(carry):
+                emitted = True
+                yield out
+        if not emitted:
+            yield _empty()  # keep the Arrow stream schema-typed
+
     from mediachain_indexer_spark.operators.pairs import cap_blocks
 
     # singleton-drop + membership cap BEFORE the Python boundary, via the
-    # shared cap rule: singletons produce zero pairs but would each pay a
-    # per-group pandas invocation (the dominant cost on many-tiny-blocks
-    # profiles — most LSH bands are singletons), and the xxhash64-rank cap
-    # keeps over-cap membership identical to the join path.  The cap
-    # windows share hashpartitioning(block_key) — one exchange.
+    # shared cap rule: singletons produce zero pairs but would still ship
+    # rows (most LSH bands are singletons), and the xxhash64-rank cap keeps
+    # over-cap membership identical to the join path.  The cap windows
+    # share hashpartitioning(block_key) — one exchange.
     sized = cap_blocks(blocks, max_block_size)
     joined = sized.join(features, "doc_id").select(
         "block_key", "doc_id", "norm_text", "phashes"
     )
-    # pin the grouping width: the grouped relation is byte-small, so AQE
-    # coalesces the applyInPandas shuffle to ONE partition and every block
-    # scores serially in a single Python worker (measured 80s vs 11s at
-    # fx2000).  An explicit repartition(n, key) is exempt from AQE
-    # coalescing and satisfies the groupBy's distribution, so no second
-    # exchange is added.
+    # pin the width explicitly: the relation is byte-small, so AQE would
+    # coalesce the shuffle to ONE partition and everything would score in a
+    # single Python worker (measured 80s vs 11s at fx2000).  An explicit
+    # repartition(n, key) is exempt from AQE coalescing; the within-
+    # partition sort makes blocks contiguous (and members doc_id-ordered,
+    # the same deterministic order the join path's strict < produces).
     n_parts = joined.sparkSession.sparkContext.defaultParallelism * 2
-    joined = joined.repartition(n_parts, "block_key")
-    out = joined.groupBy("block_key").applyInPandas(score_block, _GROUPED_SCHEMA)
+    joined = joined.repartition(n_parts, "block_key").sortWithinPartitions(
+        "block_key", "doc_id"
+    )
+    out = joined.mapInPandas(score_batches, _GROUPED_SCHEMA)
     # a pair can appear under several blocking keys; keep one row
     return out.dropDuplicates(["doc_a", "doc_b"])

@@ -33,10 +33,10 @@ class PipelineConfig:
     pairs: PairsConfig = field(default_factory=PairsConfig)
     scoring: ScoringConfig = field(default_factory=ScoringConfig)
     # "join" (default): candidate_pairs self-join + score_pairs — salted,
-    # size-capped, the 100-TB path.  "grouped": per-block applyInPandas
-    # (operators/scoring.score_pairs_in_blocks) — pair generation + scoring
-    # inside one Python worker per block; same is_match bits, no pair
-    # shuffle, but whole-block memory + hard cap (fallback tier).
+    # size-capped, the 100-TB path.  "grouped": per-block in-worker scoring
+    # (operators/scoring.score_pairs_in_blocks — block-sorted mapInPandas) —
+    # pair generation + scoring inside the Python worker; same is_match
+    # bits, no pair shuffle, but whole-block memory + hard cap.
     scoring_strategy: str = "join"
 
 

@@ -106,3 +106,22 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "128m")
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_verify_tier_broadcasts_gram_sides(spark, corpus500_paths):
+    """MinHash verify tier under the broadcast threshold: the gram arrays
+    must attach via BroadcastHashJoin (never re-serialized through a
+    sort-merge exchange — measured 3× transport cost), and the only Python
+    in the plan must be Arrow-vectorized."""
+    from mediachain_indexer_spark.operators.dedup import minhash_near_duplicates
+
+    docs = read_documents(spark, corpus500_paths["spans_documents"]).select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.transform(F.col("spans"), lambda s: s["text"])
+        ).alias("text"),
+    )
+    out = minhash_near_duplicates(docs, verify_jaccard=0.5)
+    plan = _executed(out)
+    assert "BroadcastHashJoin" in plan
+    assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
