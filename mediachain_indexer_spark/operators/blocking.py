@@ -135,9 +135,16 @@ def build_blocks(norm_df: DataFrame, cfg: BlockingConfig = BlockingConfig()) -> 
         ).otherwise(F.array().cast("array<string>"))
         families.append(exact_key)
 
-    keys = F.concat(*families)
-    return (
-        norm_df.select(F.col("doc_id"), F.explode(keys).alias("block_key"))
-        .select("block_key", "doc_id")
-        .dropDuplicates(["block_key", "doc_id"])
+    # per-row array_distinct, NOT a table-wide dropDuplicates: a duplicate
+    # (block_key, doc_id) row can only come from duplicate keys inside ONE
+    # doc's key array (identical phashes in the phashes array — the three
+    # families can't collide across each other, their prefixes differ, and
+    # distinct docs can't collide on doc_id).  The old dropDuplicates was a
+    # full shuffle of the exploded block table (docs × ~16 keys — the block
+    # stage's only wide exchange); the narrow form dedups before the explode
+    # for free and every downstream consumer re-partitions by block_key
+    # itself anyway (pairs cap-window, grouped-scorer cap, ingest upsert).
+    keys = F.array_distinct(F.concat(*families))
+    return norm_df.select(F.col("doc_id"), F.explode(keys).alias("block_key")).select(
+        "block_key", "doc_id"
     )

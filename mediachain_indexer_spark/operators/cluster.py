@@ -138,10 +138,14 @@ def connected_components(
     )
     spark.conf.set("spark.sql.shuffle.partitions", str(min(int(old_shuffle), cc_parts)))
     try:
+        # no entry distinct (it was a full shuffle of the edge set): the
+        # rounds are duplicate-insensitive end to end — groupBy minima
+        # absorb dup edges, the violations test counts DISTINCT parents,
+        # and the final extraction dedups — so duplicate input edges only
+        # pad round 1's volume.  ER callers pass already-distinct pairs.
         e = (
             edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
             .where(F.col("u") != F.col("v"))
-            .distinct()
             .localCheckpoint(eager=False)
         )
         converged = False

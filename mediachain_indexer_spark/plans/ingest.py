@@ -30,6 +30,11 @@ per increment:
    (tests/test_ingest_increment.py);
 6. upsert the affected assignments into the entity table.
 
+Deletions (``delete_docs``) are first-class: the affected entities are
+re-resolved from stored features/blocks so bridge-doc removals SPLIT
+entities and min-doc removals re-root them — equivalent to a from-scratch
+batch run on the remaining corpus (tests/test_delete.py).
+
 Scale: each step touches O(increment + blast radius), never the corpus —
 the semi-joins prune at the block level, the CC runs on the bounded
 subgraph, and the MERGE rewrites only affected buckets.  Caveat: block-size
@@ -57,6 +62,7 @@ from mediachain_indexer_spark.operators.scoring import score_pairs
 from mediachain_indexer_spark.plans.pipeline import PipelineConfig
 from mediachain_indexer_spark.sources.merge import (
     _table_exists,
+    delete_rows,
     read_entities,
     upsert_entities,
 )
@@ -80,11 +86,21 @@ class EntityStore:
         return os.path.join(self.root, "entities")
 
 
+_BLOCKS_SCHEMA = "block_key string, doc_id string, bk_doc string"
+_FEATURES_SCHEMA = "doc_id string, norm_text string, phashes array<long>"
+
+
+def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """Schema-safe store read: a fully-deleted table has no bucket dirs left
+    and parquet schema inference would fail on the bare directory."""
+    if not _table_exists(path):
+        return spark.createDataFrame([], schema)
+    return read_entities(spark, path)
+
+
 def read_store_entities(spark: SparkSession, store: EntityStore) -> DataFrame:
     """Current (doc_id, entity_id) table (empty frame if nothing ingested)."""
-    if not _table_exists(store.entities):
-        return spark.createDataFrame([], "doc_id string, entity_id string")
-    return read_entities(spark, store.entities)
+    return _read_or_empty(spark, store.entities, "doc_id string, entity_id string")
 
 
 def ingest_increment(
@@ -158,5 +174,91 @@ def ingest_increment(
         "sink": sink_stats,
     }
     for df in (feats_inc, blocks_inc, inc_ids, scored):
+        df.unpersist()
+    return stats
+
+
+def delete_docs(
+    del_ids: DataFrame,
+    store: EntityStore,
+    cfg: PipelineConfig = PipelineConfig(),
+) -> dict:
+    """Remove documents from the store and re-resolve the affected entities.
+
+    Deletion is the HARD mutation for transitive clustering: removing a
+    bridge document must SPLIT the entity it held together (A~B, B~C with
+    A≁C collapses to {A}, {C} when B goes), and removing an entity's
+    canonical-min doc must re-root the survivors.  Neither is derivable
+    from the assignment table alone, so the affected subgraph is re-scored:
+
+    1. affected entities = entities containing any deleted doc;
+    2. remaining members = their members minus the deleted docs;
+    3. candidate pairs among the remaining members only (their stored block
+       keys, same cap/salt machinery), re-scored from stored features —
+       deletion can't create edges to UNtouched entities (any such match
+       would already have merged them), so the blast radius is exactly the
+       touched entities;
+    4. connected components over the surviving matches → new assignments
+       (entity_id = min(doc_id) re-roots automatically);
+    5. store mutations: rows deleted from features/blocks/entities
+       (bucket-scoped MERGE DELETE), new assignments upserted.
+
+    Equivalence contract (tests/test_delete.py): after any delete, the
+    store's entity table equals the one-shot batch pipeline on the
+    remaining corpus — exact ids, including splits.  Same over-cap caveat
+    as ``ingest_increment``: block-size caps sample by xxhash rank over the
+    docs PRESENT, so over-cap blocks may sample differently than a
+    from-scratch run; under-cap corpora are bit-equivalent.
+    """
+    spark = del_ids.sparkSession
+    del_ids = del_ids.select("doc_id").distinct().persist()
+
+    existing = read_store_entities(spark, store)
+    touched_ents = existing.join(del_ids, "doc_id", "left_semi").select(
+        "entity_id"
+    ).distinct()
+    members = existing.join(touched_ents, "entity_id", "left_semi")
+    remaining = (
+        members.join(del_ids, "doc_id", "left_anti").select("doc_id").persist()
+    )
+
+    blocks_all = _read_or_empty(spark, store.blocks, _BLOCKS_SCHEMA).select(
+        "block_key", "doc_id"
+    )
+    rem_blocks = blocks_all.join(remaining, "doc_id", "left_semi")
+    pairs = candidate_pairs(rem_blocks, cfg.pairs)
+    feats_all = _read_or_empty(spark, store.features, _FEATURES_SCHEMA)
+    scored = score_pairs(pairs, feats_all, cfg.scoring).persist()
+    matches = scored.where(F.col("is_match")).select("doc_a", "doc_b")
+    n_pairs = scored.count()
+
+    comps = connected_components(matches)
+    # PIN the new assignments BEFORE any store mutation: assign reads the
+    # entities/blocks/features parquet through remaining/comps, and the
+    # delete_rows calls below REWRITE those very tables — an unmaterialized
+    # assign would re-read post-delete state (the deleted doc no longer
+    # marks its entity as touched) and silently drop every reassignment
+    n_requested = del_ids.count()
+    assign = attach_components(remaining, comps).localCheckpoint()
+    n_reassigned = assign.count()
+
+    d_feats = delete_rows(spark, store.features, "doc_id", del_ids, store.n_buckets)
+    delete_rows(spark, store.blocks, "doc_id", del_ids, store.n_buckets)
+    d_ents = delete_rows(spark, store.entities, "doc_id", del_ids, store.n_buckets)
+    sink_stats = (
+        upsert_entities(assign, store.entities, "doc_id", store.n_buckets)
+        if n_reassigned
+        else {"n_upserted": 0, "n_buckets_touched": 0}
+    )
+
+    stats = {
+        "n_requested": n_requested,
+        "n_deleted": d_ents["n_deleted"],
+        "n_docs_in_store_deleted": d_feats["n_deleted"],
+        "n_pairs_rescored": n_pairs,
+        "n_docs_reassigned": n_reassigned,
+        "sink": sink_stats,
+    }
+    for df in (del_ids, remaining, scored):
         df.unpersist()
     return stats

@@ -61,6 +61,10 @@ def upsert_entities(
 
     if not _table_exists(target_path):
         upd.write.partitionBy(BUCKET_COL).mode("overwrite").parquet(target_path)
+        if not _table_exists(target_path):
+            # EMPTY updates write no bucket dirs — reading the bare
+            # directory back would fail schema inference
+            return {"n_upserted": 0, "n_buckets_touched": 0}
         return {
             "n_upserted": spark.read.parquet(target_path).count(),
             "n_buckets_touched": n_buckets,
@@ -84,6 +88,56 @@ def upsert_entities(
     )
     upd.unpersist()
     return {"n_upserted": n, "n_buckets_touched": len(buckets)}
+
+
+def delete_rows(
+    spark: SparkSession,
+    target_path: str,
+    key_col: str,
+    keys: DataFrame,
+    n_buckets: int = 16,
+) -> dict[str, int]:
+    """MERGE-style DELETE: remove every row whose ``key_col`` appears in
+    ``keys`` (Iceberg ``DELETE FROM target WHERE key IN (...)`` in prod).
+
+    ``key_col`` need not be the bucketing key (the blocks table buckets on
+    the composite ``bk_doc`` but deletes by ``doc_id``): affected buckets
+    are discovered from the matching rows themselves (one semi-join scan),
+    then only those buckets are rewritten.  A bucket whose rows are ALL
+    deleted is removed outright — dynamic partition overwrite only replaces
+    partitions present in the new data, so an emptied bucket would silently
+    keep its old rows (Iceberg's snapshot delete handles this
+    transactionally in prod; the sandbox removes the directory).
+    Idempotent: re-deleting the same keys is a no-op.
+    """
+    import shutil
+
+    if not _table_exists(target_path):
+        return {"n_deleted": 0, "n_buckets_touched": 0}
+    keys = keys.select(key_col).distinct()
+    t = spark.read.parquet(target_path)
+    hit = t.join(keys, key_col, "left_semi")
+    buckets = [r[0] for r in hit.select(BUCKET_COL).distinct().collect()]
+    if not buckets:
+        return {"n_deleted": 0, "n_buckets_touched": 0}
+    affected = t.where(F.col(BUCKET_COL).isin(buckets))
+    keep = affected.join(keys, key_col, "left_anti").localCheckpoint()
+    n_affected = affected.count()
+    n_keep = keep.count()
+    if n_keep:
+        (
+            keep.write.partitionBy(BUCKET_COL)
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(target_path)
+        )
+    kept_buckets = {r[0] for r in keep.select(BUCKET_COL).distinct().collect()}
+    for b in buckets:
+        if b not in kept_buckets:
+            shutil.rmtree(
+                os.path.join(target_path, f"{BUCKET_COL}={b}"), ignore_errors=True
+            )
+    return {"n_deleted": n_affected - n_keep, "n_buckets_touched": len(buckets)}
 
 
 def read_entities(spark: SparkSession, target_path: str) -> DataFrame:
