@@ -176,6 +176,57 @@ def _er_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_store_entities(spark, store)
 
 
+def _er_deleted_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion flagship (plans/ingest.delete_docs): a store built from the
+    500-doc corpus PLUS an engineered A~B~C similarity chain; deleting the
+    bridge doc B and one cluster's canonical-min doc must SPLIT the chain
+    entity and re-root the cluster — the returned table is proven equal to
+    a one-shot batch run on the remaining corpus (tests/test_delete.py).
+    Rows-only for the driver: the store mutates per run."""
+    import shutil
+
+    from pyspark.sql import functions as _F
+
+    from mediachain_indexer_spark.plans.ingest import (
+        EntityStore,
+        delete_docs,
+        ingest_increment,
+        read_store_entities,
+    )
+    from mediachain_indexer_spark.sources.fixtures import write_corpus
+    from mediachain_indexer_spark.sources.io import SPANS_SCHEMA, read_documents
+
+    paths = write_corpus(os.path.join(_REPO, ".cache", "fx500"), 500)
+    base = "qwertyuiopasdfghjklzxcvbnmqwer"
+    chain = spark.createDataFrame(
+        [
+            ("x_chain_a", [("text", base, None, 0)]),
+            ("x_chain_b", [("text", "z" + base[1:], None, 0)]),
+            ("x_chain_c", [("text", "zx" + base[2:], None, 0)]),
+        ],
+        SPANS_SCHEMA,
+    )
+    docs = read_documents(spark, paths["spans_documents"]).unionByName(chain)
+    root = os.path.join(_REPO, ".cache", "del_store_driver")
+    shutil.rmtree(root, ignore_errors=True)
+    store = EntityStore(root)
+    old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        ingest_increment(docs, store)
+        del_ids = spark.createDataFrame(
+            [("x_chain_b",), ("d000002",)], "doc_id string"
+        )
+        delete_docs(del_ids, store)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
+    ents = read_store_entities(spark, store)
+    # surface the split: the chain survivors must be their own entities
+    return ents.where(
+        _F.col("doc_id").startswith("x_chain_") | (_F.col("doc_id") < "d000020")
+    )
+
+
 def _er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _er_pipeline(spark).clusters
 
@@ -222,6 +273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "er_matches_grouped": _er_matches_grouped,
             "er_clusters": _er_clusters,
             "er_incremental_clusters": _er_incremental_clusters,
+            "er_deleted_clusters": _er_deleted_clusters,
             "er_eval_f1": _er_eval_f1,
         }
     )
