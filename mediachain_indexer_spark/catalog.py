@@ -1012,8 +1012,28 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- rows-only entries (xxhash64 / LSH / vectorized UDF — not DuckDB-able) --
-@_q("dedup_exact_text_groups")
+@_q(
+    "dedup_exact_text_groups",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id,
+             trim(regexp_replace(
+               array_to_string(list_slice(string_split(lower(text), ' '), 1, 12), ' '),
+               '[^a-z0-9]+', ' ', 'g')) AS k
+      FROM documents
+    )
+    SELECT count(*) AS n_docs,
+           min(doc_id) AS representative,
+           string_agg(doc_id, ',' ORDER BY doc_id) AS members_csv
+    FROM keyed GROUP BY k HAVING count(*) >= 2
+    """,
+)
 def dedup_exact_text_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-oracle entry: the internal group key is xxhash64 (narrow-shuffle
+    scale design, not DuckDB-expressible) but the OUTPUT is key-free —
+    (n_docs, representative, members_csv) identifies each group exactly, so
+    DuckDB re-derives the same groups by grouping on the normalized prefix
+    text itself."""
     from mediachain_indexer_spark.operators.dedup import exact_duplicates
 
     d = load_table(spark, sf_dir, "documents")
@@ -1027,7 +1047,6 @@ def dedup_exact_text_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # members → CSV string: the driver canonicalizer can't hash list cells
     out = exact_duplicates(keyed, "text")
     return out.select(
-        "text_key",
         "n_docs",
         "representative",
         F.concat_ws(",", F.col("members").cast("array<string>")).alias("members_csv"),

@@ -127,11 +127,13 @@ def build_blocks(norm_df: DataFrame, cfg: BlockingConfig = BlockingConfig()) -> 
         phash_band_keys(F.col("phashes"), cfg.phash_bands),
     ).otherwise(F.array().cast("array<string>"))
 
+    has_text = F.col("norm_text").isNotNull() & (F.length("norm_text") > 0)
+    exact_hash = F.when(has_text, F.xxhash64("norm_text"))
     families = [text_keys, media_keys]
     if cfg.use_exact_text_key:
         exact_key = F.when(
-            F.col("norm_text").isNotNull() & (F.length("norm_text") > 0),
-            F.array(F.concat(F.lit("e:"), F.xxhash64("norm_text").cast("string"))),
+            has_text,
+            F.array(F.concat(F.lit("e:"), exact_hash.cast("string"))),
         ).otherwise(F.array().cast("array<string>"))
         families.append(exact_key)
 
@@ -145,6 +147,19 @@ def build_blocks(norm_df: DataFrame, cfg: BlockingConfig = BlockingConfig()) -> 
     # for free and every downstream consumer re-partitions by block_key
     # itself anyway (pairs cap-window, grouped-scorer cap, ingest upsert).
     keys = F.array_distinct(F.concat(*families))
-    return norm_df.select(F.col("doc_id"), F.explode(keys).alias("block_key")).select(
-        "block_key", "doc_id"
+    out = norm_df.select(
+        F.col("doc_id"),
+        F.explode(keys).alias("block_key"),
+        exact_hash.alias("exact_hash"),
     )
+    # exact_hash rides along (8 bytes/row) so pair generation can suppress
+    # duplicate emissions of exact-text pairs from the t:/p: families — an
+    # identical-text pair collides in EVERY MinHash band (identical
+    # signatures) plus the e: key, so without suppression it enters the raw
+    # pair table ~(1 + bands) times and dominates the cross-band dedup
+    # shuffle (operators/pairs.candidate_pairs).  Only emitted when the e:
+    # family exists to cover those pairs.
+    if not cfg.use_exact_text_key:
+        out = out.drop("exact_hash")
+        return out.select("block_key", "doc_id")
+    return out.select("block_key", "doc_id", "exact_hash")

@@ -76,7 +76,31 @@ def _with_block_stats(blocks: DataFrame, cfg: PairsConfig) -> DataFrame:
     return cap_blocks(blocks, cfg.max_block_size)
 
 
-def _plain_pairs(blocks: DataFrame) -> DataFrame:
+def _exact_suppression_filter() -> "F.Column":
+    """Keep-predicate dropping duplicate emissions of exact-text pairs.
+
+    An identical-``norm_text`` pair collides in every MinHash band
+    (identical signatures ⇒ identical band keys) AND on the ``e:`` exact
+    key, so it would enter the raw pair table ~(1 + minhash_bands) times —
+    measured as the dominant share of the cross-band dedup shuffle.  The
+    pair is emitted ONLY from its ``e:`` block; ``t:``/``p:`` blocks drop
+    it map-side (pure codegen filter, no extra shuffle).  The final
+    distinct pair SET is unchanged: every suppressed emission has the same
+    ``e:``-keyed emission surviving (both docs share the exact hash, i.e.
+    the e: block key itself).  One documented edge: on an over-cap exact
+    block (> max_block_size identical docs) a pair cut by the e: cap is no
+    longer recoverable via a t-band block's independently-capped sample —
+    immaterial, the cap is already a lossy sampler on such blocks.
+    """
+    return (
+        F.col("block_key").startswith("e:")
+        | F.col("exact_a").isNull()
+        | F.col("exact_b").isNull()
+        | (F.col("exact_a") != F.col("exact_b"))
+    )
+
+
+def _plain_pairs(blocks: DataFrame, with_exact: bool) -> DataFrame:
     """Equi self-join inside small blocks; strict < gives each pair once.
 
     No explicit repartition: the upstream cap-window already hash-partitioned
@@ -84,16 +108,22 @@ def _plain_pairs(blocks: DataFrame) -> DataFrame:
     (self-join of one subtree → ReusedExchange), and an explicit
     ``repartition`` would force a SECOND full shuffle of the block table.
     """
-    left = blocks.select("block_key", F.col("doc_id").alias("doc_a"))
-    right = blocks.select("block_key", F.col("doc_id").alias("doc_b"))
-    return (
-        left.join(right, "block_key")
+    lcols = ["block_key", F.col("doc_id").alias("doc_a")]
+    rcols = ["block_key", F.col("doc_id").alias("doc_b")]
+    if with_exact:
+        lcols.append(F.col("exact_hash").alias("exact_a"))
+        rcols.append(F.col("exact_hash").alias("exact_b"))
+    out = (
+        blocks.select(*lcols)
+        .join(blocks.select(*rcols), "block_key")
         .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
     )
+    if with_exact:
+        out = out.where(_exact_suppression_filter())
+    return out.select("doc_a", "doc_b")
 
 
-def _salted_pairs(blocks: DataFrame, cfg: PairsConfig) -> DataFrame:
+def _salted_pairs(blocks: DataFrame, cfg: PairsConfig, with_exact: bool) -> DataFrame:
     """Triangle-decomposed self-join for oversized blocks."""
     spark = blocks.sparkSession
     s = cfg.n_salts
@@ -103,18 +133,21 @@ def _salted_pairs(blocks: DataFrame, cfg: PairsConfig) -> DataFrame:
     salted = blocks.withColumn(
         "salt", F.pmod(F.xxhash64("doc_id"), F.lit(s)).cast("int")
     )
-    left = salted.join(
-        F.broadcast(grid), salted["salt"] == grid["g1"]
-    ).select("block_key", "g1", "g2", F.col("doc_id").alias("doc_a"))
-    right = salted.join(
-        F.broadcast(grid.withColumnRenamed("g2", "r_g2")),
-        salted["salt"] == F.col("r_g2"),
-    ).select(
+    lcols = ["block_key", "g1", "g2", F.col("doc_id").alias("doc_a")]
+    rcols = [
         F.col("block_key").alias("r_block_key"),
         F.col("g1").alias("r_g1"),
         F.col("r_g2"),
         F.col("doc_id").alias("doc_b"),
-    )
+    ]
+    if with_exact:
+        lcols.append(F.col("exact_hash").alias("exact_a"))
+        rcols.append(F.col("exact_hash").alias("exact_b"))
+    left = salted.join(F.broadcast(grid), salted["salt"] == grid["g1"]).select(*lcols)
+    right = salted.join(
+        F.broadcast(grid.withColumnRenamed("g2", "r_g2")),
+        salted["salt"] == F.col("r_g2"),
+    ).select(*rcols)
     joined = left.join(
         right,
         (left["block_key"] == right["r_block_key"])
@@ -123,25 +156,37 @@ def _salted_pairs(blocks: DataFrame, cfg: PairsConfig) -> DataFrame:
     )
     # same-salt cell: strict < once; cross-salt cell (g1<g2): all pairs, each
     # unordered pair appears in exactly one cell — canonicalize order after.
-    return joined.where(
+    out = joined.where(
         ((F.col("g1") == F.col("g2")) & (F.col("doc_a") < F.col("doc_b")))
         | (F.col("g1") < F.col("g2"))
-    ).select(
+    )
+    if with_exact:
+        out = out.where(_exact_suppression_filter())
+    return out.select(
         F.least("doc_a", "doc_b").alias("doc_a"),
         F.greatest("doc_a", "doc_b").alias("doc_b"),
     )
 
 
 def candidate_pairs(blocks: DataFrame, cfg: PairsConfig = PairsConfig()) -> DataFrame:
-    """blocks(block_key, doc_id) → distinct pairs (doc_a < doc_b)."""
+    """blocks(block_key, doc_id[, exact_hash]) → distinct pairs (doc_a < doc_b).
+
+    When the optional ``exact_hash`` column is present (build_blocks with the
+    exact-text family on), duplicate emissions of identical-text pairs are
+    suppressed map-side in the non-``e:`` families (``_exact_suppression_
+    filter``) — same distinct pair set, far smaller raw pair table into the
+    cross-band dedup.  Callers whose block table lacks the column (e.g. the
+    incremental store's persisted 2-column layout) get the original
+    dedup-everything behavior.
+    """
+    with_exact = "exact_hash" in blocks.columns
+    cols = ["block_key", "doc_id"] + (["exact_hash"] if with_exact else [])
     staged = _with_block_stats(blocks, cfg)
     if cfg.materialize_staged:
         staged = staged.localCheckpoint(eager=False)
-    small = staged.where(F.col("bsize") <= cfg.salt_threshold).select(
-        "block_key", "doc_id"
+    small = staged.where(F.col("bsize") <= cfg.salt_threshold).select(*cols)
+    big = staged.where(F.col("bsize") > cfg.salt_threshold).select(*cols)
+    pairs = _plain_pairs(small, with_exact).unionByName(
+        _salted_pairs(big, cfg, with_exact)
     )
-    big = staged.where(F.col("bsize") > cfg.salt_threshold).select(
-        "block_key", "doc_id"
-    )
-    pairs = _plain_pairs(small).unionByName(_salted_pairs(big, cfg))
     return pairs.dropDuplicates(["doc_a", "doc_b"])

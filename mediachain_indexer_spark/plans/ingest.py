@@ -119,7 +119,12 @@ def ingest_increment(
     n_inc = feats_inc.count()
     upsert_entities(feats_inc, store.features, "doc_id", store.n_buckets)
 
-    blocks_inc = build_blocks(feats_inc, cfg.blocking).persist()
+    # the store's persisted block layout stays 2-column (+ composite key):
+    # exact_hash is a transient pair-generation hint (operators/pairs), and
+    # store blocks read back without it simply take the dedup-everything path
+    blocks_inc = build_blocks(feats_inc, cfg.blocking).select(
+        "block_key", "doc_id"
+    ).persist()
     blocks_keyed = blocks_inc.withColumn(
         "bk_doc", F.concat_ws("|", "block_key", "doc_id")
     )

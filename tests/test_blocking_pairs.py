@@ -20,7 +20,7 @@ def test_blocking_recall_on_labeled_pairs(spark, docs500, labels500):
 
 def test_blocks_shape(spark, docs500):
     blocks = build_blocks(normalize_documents(docs500))
-    assert blocks.columns == ["block_key", "doc_id"]
+    assert blocks.columns == ["block_key", "doc_id", "exact_hash"]
     # distinct (block_key, doc_id)
     assert blocks.count() == blocks.dropDuplicates(["block_key", "doc_id"]).count()
     # all three key families present
@@ -47,6 +47,27 @@ def test_salted_path_equals_plain_path(spark, docs500):
     salted = candidate_pairs(blocks, PairsConfig(salt_threshold=1, n_salts=4))
     assert plain.exceptAll(salted).count() == 0
     assert salted.exceptAll(plain).count() == 0
+
+
+def test_exact_suppression_preserves_pair_set(spark, docs500):
+    """The exact_hash suppression path must emit EXACTLY the pair set of the
+    dedup-everything path (blocks stripped of the hint column) — suppression
+    only removes duplicate emissions, never a pair (under-cap corpora)."""
+    blocks = build_blocks(normalize_documents(docs500))
+    with_hint = candidate_pairs(blocks)
+    without = candidate_pairs(blocks.select("block_key", "doc_id"))
+    assert with_hint.exceptAll(without).count() == 0
+    assert without.exceptAll(with_hint).count() == 0
+    # and the raw (pre-dedup) emission count must actually shrink: exact-dup
+    # pairs leave only their e:-keyed emission
+    import mediachain_indexer_spark.operators.pairs as P
+
+    def raw_count(b, with_exact):
+        cols = ["block_key", "doc_id"] + (["exact_hash"] if with_exact else [])
+        staged = P._with_block_stats(b, P.PairsConfig()).select(*cols)
+        return P._plain_pairs(staged, with_exact).count()
+
+    assert raw_count(blocks, True) < raw_count(blocks, False)
 
 
 def test_size_cap_bounds_block_contribution(spark):
