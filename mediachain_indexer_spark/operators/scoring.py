@@ -267,6 +267,12 @@ def score_pairs_in_blocks(
     )
 
     radius, floor, tau = cfg.hamming_radius, cfg.text_floor, cfg.text_only_threshold
+    # same contract as operators/pairs.candidate_pairs: blocks built with the
+    # exact-text family carry exact_hash, which licenses dropping equal-text
+    # pairs from non-e: blocks (the e: block emits them once); synthetic or
+    # store-persisted 2-column block tables keep the enumerate-everything
+    # behavior so the two scorer strategies stay bit-identical on ANY input
+    suppress_exact = "exact_hash" in blocks.columns
 
     def _empty() -> pd.DataFrame:
         return pd.DataFrame(
@@ -284,6 +290,12 @@ def score_pairs_in_blocks(
         """One vectorized sweep over pre-built pair indices into pdf."""
         ta = pdf["norm_text"].fillna("").iloc[ia].reset_index(drop=True)
         tb = pdf["norm_text"].fillna("").iloc[ib].reset_index(drop=True)
+        # equality fast path (the grouped twin of the join path's eq_text
+        # short-circuit): identical texts have lev = lev_sorted = jw = 1.0
+        # exactly — skip both O(m·n) DPs and the JW kernel for them.  On
+        # e:-keyed blocks EVERY pair is equal-text, so whole exact blocks
+        # bypass the string kernels.
+        eq = (ta.to_numpy() == tb.to_numpy())
 
         # min-Hamming over the phash cross product (pad + SWAR popcount)
         ph = pdf["phashes"].to_numpy()
@@ -304,10 +316,19 @@ def score_pairs_in_blocks(
             d = np.where(valid, d, HAMMING_FAR)
             ham = d.reshape(len(ia), -1).min(axis=1)
 
-        lev = levenshtein_sim_batch(ta, tb)
-        sort_tokens = lambda s: " ".join(sorted(s.split(" ")))  # noqa: E731
-        lev_sorted = levenshtein_sim_batch(ta.map(sort_tokens), tb.map(sort_tokens))
-        jw = jaro_winkler_batch(ta, tb).to_numpy()
+        lev = np.ones(len(ta))
+        lev_sorted = np.ones(len(ta))
+        jw = np.ones(len(ta))
+        if not eq.all():
+            ne = np.nonzero(~eq)[0]
+            ta_ne = ta.iloc[ne].reset_index(drop=True)
+            tb_ne = tb.iloc[ne].reset_index(drop=True)
+            lev[ne] = levenshtein_sim_batch(ta_ne, tb_ne)
+            sort_tokens = lambda s: " ".join(sorted(s.split(" ")))  # noqa: E731
+            lev_sorted[ne] = levenshtein_sim_batch(
+                ta_ne.map(sort_tokens), tb_ne.map(sort_tokens)
+            )
+            jw[ne] = jaro_winkler_batch(ta_ne, tb_ne).to_numpy()
         text_sim = np.maximum((jw + lev) / 2.0, lev_sorted)
         media_sim = 1.0 - np.minimum(ham, 16) / 16.0
         is_match = ((ham <= radius) & (text_sim >= floor)) | (text_sim >= tau)
@@ -328,6 +349,7 @@ def score_pairs_in_blocks(
         per-block triangular indices, then sweeps the kernels over chunks
         of ≤ max_pairs_per_kernel concatenated pairs."""
         keys = pdf["block_key"].to_numpy()
+        txt = pdf["norm_text"].fillna("").to_numpy() if suppress_exact else None
         # run-length block boundaries (keys are contiguous)
         change = np.nonzero(keys[1:] != keys[:-1])[0] + 1
         starts = np.concatenate(([0], change))
@@ -340,8 +362,19 @@ def score_pairs_in_blocks(
             if m < 2:
                 continue
             ia, ib = np.triu_indices(m, k=1)
-            ia_chunks.append(ia + s)
-            ib_chunks.append(ib + s)
+            ia, ib = ia + s, ib + s
+            if suppress_exact and not keys[s].startswith("e:"):
+                # same rule as pairs._exact_suppression_filter: equal-text
+                # pairs are emitted ONLY by their e: block (which holds both
+                # docs), so non-e: blocks drop them before the kernels.
+                # Empty-text docs have NO e: block (null exact_hash in the
+                # join path) — their equal-"" pairs must survive here too.
+                keep = (txt[ia] != txt[ib]) | (txt[ia] == "")
+                ia, ib = ia[keep], ib[keep]
+                if not len(ia):
+                    continue
+            ia_chunks.append(ia)
+            ib_chunks.append(ib)
             n_pairs += len(ia)
             if n_pairs >= max_pairs_per_kernel:
                 yield _score_pair_indices(

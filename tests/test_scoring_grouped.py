@@ -106,6 +106,30 @@ def test_grouped_matches_join_path_over_cap(spark):
     assert in_pairs == kept
 
 
+def test_exact_suppression_keeps_textless_media_pairs(spark):
+    """Docs with NO text co-block only via p: media bands and compare
+    equal-on-empty-text — the exact-pair suppression (join path: null
+    exact_hash; grouped kernel: txt == "") must NOT drop them, and both
+    strategies must still match them on media alone."""
+    feats = spark.createDataFrame(
+        [("m1", "", [17]), ("m2", "", [17]), ("t1", "some real title here", None)],
+        "doc_id string, norm_text string, phashes array<long>",
+    ).persist()
+    blocks = build_blocks(feats).persist()
+    join_rows = {
+        (r["doc_a"], r["doc_b"]): r["is_match"]
+        for r in score_pairs(candidate_pairs(blocks), feats).collect()
+    }
+    grouped_rows = {
+        (r["doc_a"], r["doc_b"]): r["is_match"]
+        for r in score_pairs_in_blocks(blocks, feats).collect()
+    }
+    assert join_rows == {("m1", "m2"): True}
+    assert grouped_rows == {("m1", "m2"): True}
+    feats.unpersist()
+    blocks.unpersist()
+
+
 def test_grouped_pipeline_end_to_end(spark, docs500, golden500):
     from mediachain_indexer_spark.plans.pipeline import PipelineConfig, run_pipeline
 
