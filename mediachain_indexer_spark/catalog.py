@@ -1088,8 +1088,70 @@ def similarity_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("text_rolling_fingerprint")
+@_q(
+    "text_rolling_fingerprint",
+    # exact DuckDB twin of the numpy rolling-hash kernel: same normalize,
+    # same zero-padded code list, same mod-2^64 polynomial (B=0x100000001B3,
+    # one multiply-add per window char) and splitmix64 finalizer.  64x64-bit
+    # multiplies are split hi32/lo32 so each partial product fits INT128.
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS nt
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, length(nt) AS ln,
+        list_transform(range(1, greatest(length(nt), 8) + 1),
+          i -> CASE WHEN i <= length(nt) THEN unicode(substr(nt, i, 1))::UBIGINT
+                    ELSE 0::UBIGINT END) AS codes
+      FROM t
+    ),
+    h AS (
+      SELECT doc_id,
+        list_transform(range(0, greatest(ln - 8, 0) + 1), s ->
+          ((((((((((((((codes[s+1]::HUGEINT * 1099511628211 + codes[s+2])
+            % 18446744073709551616) * 1099511628211 + codes[s+3])
+            % 18446744073709551616) * 1099511628211 + codes[s+4])
+            % 18446744073709551616) * 1099511628211 + codes[s+5])
+            % 18446744073709551616) * 1099511628211 + codes[s+6])
+            % 18446744073709551616) * 1099511628211 + codes[s+7])
+            % 18446744073709551616) * 1099511628211 + codes[s+8])
+            % 18446744073709551616)::UBIGINT
+        ) AS polys
+      FROM c
+    ),
+    m AS (
+      SELECT doc_id,
+        list_transform(
+          list_transform(
+            list_transform(
+              list_transform(
+                list_transform(polys, x -> xor(x, x >> 30)),
+                x -> ((x::HUGEINT * 484763065 % 18446744073709551616
+                       + (x::HUGEINT * 3210233709 % 4294967296) * 4294967296)
+                      % 18446744073709551616)::UBIGINT),
+              x -> xor(x, x >> 27)),
+            x -> ((x::HUGEINT * 321982955 % 18446744073709551616
+                   + (x::HUGEINT * 2496678331 % 4294967296) * 4294967296)
+                  % 18446744073709551616)::UBIGINT),
+          x -> xor(x, x >> 31)) AS mixed
+      FROM h
+    )
+    SELECT doc_id,
+      CASE WHEN list_aggregate(mixed, 'min') >= 9223372036854775808::UBIGINT
+           THEN (list_aggregate(mixed, 'min')::HUGEINT - 18446744073709551616)::BIGINT
+           ELSE list_aggregate(mixed, 'min')::BIGINT END AS fingerprint,
+      CASE WHEN list_aggregate(mixed, 'max') >= 9223372036854775808::UBIGINT
+           THEN (list_aggregate(mixed, 'max')::HUGEINT - 18446744073709551616)::BIGINT
+           ELSE list_aggregate(mixed, 'max')::BIGINT END AS fingerprint_hi
+    FROM m
+    """,
+)
 def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-oracle entry: the Arrow kernel (operators/textstats.py) is
+    deterministic and DuckDB-expressible — the oracle recomputes the exact
+    polynomial + splitmix64 pipeline in SQL, proving the vectorized batch
+    kernel bit-reproducible outside Spark."""
     from mediachain_indexer_spark.operators.textstats import rolling_fingerprint
 
     return rolling_fingerprint(load_table(spark, sf_dir, "documents"))
