@@ -39,9 +39,10 @@ LEVELS = (
 
 
 def run_level(cores: int, shuffle: int, n_docs: int, runs: int) -> list[dict]:
+    tag = os.environ.get("SPARK_GRAFT_STUDY_TAG", "")
     out = []
     for i in range(runs):
-        jf = os.path.join(REPO, ".cache", f"bench_c{cores}_r{i}.json")
+        jf = os.path.join(REPO, ".cache", f"bench{tag}_c{cores}_r{i}.json")
         cmd = [
             sys.executable,
             os.path.join(REPO, "bench.py"),
@@ -85,7 +86,10 @@ def main() -> None:
     eff_pairs = (p32 / p8) / 4 if p8 else 0.0
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    md = f"""# BENCH/BASELINE — measured scaling evidence
+    # NOT BASELINE.md: that file is the curated multi-study narrative
+    # (protocols, controls, variance bands) and one study must never
+    # overwrite it — this dump is the latest study's raw summary only.
+    md = f"""# BENCH/SCALING_LAST — latest single scaling study (raw summary)
 
 Protocol (BASELINE.md rows 2–3): identical ER job + identical input
 ({n_docs:,} seeded spans docs), {runs} timed runs per level after a
@@ -107,7 +111,7 @@ Target: ≥ 0.8 (north rule / BASELINE.json).
 
 Raw runs: see `.cache/bench_c*_r*.json`.
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", "SCALING_LAST.md"), "w") as f:
         f.write(md)
     print(json.dumps({
         "tN_docs_per_sec": t8, "t4N_docs_per_sec": t32,
