@@ -1053,14 +1053,167 @@ def dedup_exact_text_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("dedup_minhash_pairs_docs")
+@_q(
+    "dedup_minhash_pairs_docs",
+    # exact DuckDB twin of the WHOLE MinHash-LSH candidate stage: the numpy
+    # signature kernel (5-gram mod-2^64 rolling hash, murmur-style finalizer
+    # with hi32/lo32-split multiplies, 64 (a*h+b) mod 2^31-1 permutation
+    # minima with the seed-42 coefficient family inlined as literals) plus
+    # (16,4) banding -- DuckDB groups on the band's slot tuple itself where
+    # Spark groups on xxhash64 of it (equality-equivalent modulo 2^-64 hash
+    # collisions).  Validated pair-for-pair against an independent python
+    # replica before wiring in.
+    oracle="""
+    WITH coef AS (
+      SELECT [1373158607, 239081664, 53710185, 1592467582, 590620972, 525901257, 479341424, 299655413, 1581559893, 220106708, 1453201079, 1590571866, 1915941033, 1171165723, 186699714, 1268073013, 906070221, 68252794, 63989048, 201209006, 469521478, 499635469, 1085242217, 1292825379, 56985562, 1205264596, 427000597, 1537640409, 1395616197, 1506083911, 1170252924, 900911955, 473392625, 964669078, 1265438423, 597409993, 1738238662, 1866808230, 13955984, 1629526406, 1730483679, 342865763, 1499242942, 907557513, 730682428, 596724165, 333889689, 462382782, 2055599410, 1639591160, 722831293, 219494903, 199170185, 815887679, 207696844, 770902344, 1819980298, 738639289, 1296491778, 568054228, 1733294784, 93309106, 1567087081, 986607412]::UBIGINT[] AS ac, [1151541058, 268062140, 2089750182, 1980614224, 812896393, 169222132, 1185498232, 629595552, 1781132953, 1349993687, 1328261053, 1901493143, 1850501472, 776605304, 1239854303, 412936598, 1513056504, 149368553, 98407116, 1420052172, 489407815, 1660151621, 621455910, 2115747110, 171351960, 1836780819, 499914620, 1860759513, 216898920, 816314859, 596943772, 973691209, 1365121943, 1791238511, 783471136, 349297012, 794957572, 762938025, 449912919, 1439190226, 573330498, 1507147647, 2011450404, 1467907436, 1391645397, 153335723, 1308098873, 1363605489, 367517440, 1147056643, 1565787882, 525727461, 350904183, 992696249, 814874363, 579708537, 2124985203, 1987262417, 1374389012, 1477816546, 1196040476, 471619987, 1470197911, 696391871]::UBIGINT[] AS bc
+    ),
+    t AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS nt
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, length(nt) AS ln,
+        list_transform(range(1, greatest(length(nt), 5) + 1),
+          i -> CASE WHEN i <= length(nt) THEN unicode(substr(nt, i, 1))::UBIGINT
+                    ELSE 0::UBIGINT END) AS codes
+      FROM t WHERE length(nt) > 0
+    ),
+    g AS (
+      SELECT doc_id,
+        list_transform(
+          list_transform(
+            list_transform(
+              list_transform(
+                list_transform(
+                  list_transform(range(0, greatest(ln - 5, 0) + 1), s ->
+                    ((((((((codes[s+1]::HUGEINT * 1099511628211 + codes[s+2])
+                      % 18446744073709551616) * 1099511628211 + codes[s+3])
+                      % 18446744073709551616) * 1099511628211 + codes[s+4])
+                      % 18446744073709551616) * 1099511628211 + codes[s+5])
+                      % 18446744073709551616)::UBIGINT),
+                  x -> xor(x, x >> 33)),
+                x -> ((x::HUGEINT * 3981806797 % 18446744073709551616
+                       + (x::HUGEINT * 4283543511 % 4294967296) * 4294967296)
+                      % 18446744073709551616)::UBIGINT),
+              x -> xor(x, x >> 33)),
+            x -> ((x::HUGEINT * 444984403 % 18446744073709551616
+                   + (x::HUGEINT * 3301882366 % 4294967296) * 4294967296)
+                  % 18446744073709551616)::UBIGINT),
+          x -> xor(x, x >> 33) % 2147483647) AS hm
+      FROM c
+    ),
+    s AS (
+      SELECT doc_id,
+        list_transform(range(1, 65), j ->
+          list_aggregate(
+            list_transform(hm, h -> (ac[j] * h + bc[j]) % 2147483647),
+            'min')) AS sig
+      FROM g CROSS JOIN coef
+    ),
+    p AS (
+      SELECT doc_id,
+        unnest(list_transform(range(0, 16), b ->
+          b::VARCHAR || ':' ||
+          array_to_string(list_slice(sig, 4 * b + 1, 4 * b + 4), '_'))) AS bkey
+      FROM s
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM p a JOIN p b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+    """,
+)
 def dedup_minhash_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-oracle entry: proves the vectorized MinHash signatures AND the
+    LSH banding collision structure value-exact against an independent
+    engine (the oracle re-derives every signature and band bucket)."""
     from mediachain_indexer_spark.operators.dedup import minhash_near_duplicates
 
     return minhash_near_duplicates(load_table(spark, sf_dir, "documents"))
 
 
-@_q("dedup_minhash_verified_docs")
+@_q(
+    "dedup_minhash_verified_docs",
+    # the candidate-stage oracle (dedup_minhash_pairs_docs) extended with the
+    # exact-Jaccard verify tier: DuckDB computes J over distinct 5-gram
+    # STRING sets where Spark uses distinct xxhash64 gram hashes -- identical
+    # set sizes and intersections modulo in-doc 64-bit hash collisions
+    # (~grams^2 * 2^-65 per doc).  Threshold decisions cannot diverge on the
+    # float boundary: |inter/union - 0.5| < 1 ulp forces 2*inter == union.
+    oracle="""
+    WITH coef AS (
+      SELECT [1373158607, 239081664, 53710185, 1592467582, 590620972, 525901257, 479341424, 299655413, 1581559893, 220106708, 1453201079, 1590571866, 1915941033, 1171165723, 186699714, 1268073013, 906070221, 68252794, 63989048, 201209006, 469521478, 499635469, 1085242217, 1292825379, 56985562, 1205264596, 427000597, 1537640409, 1395616197, 1506083911, 1170252924, 900911955, 473392625, 964669078, 1265438423, 597409993, 1738238662, 1866808230, 13955984, 1629526406, 1730483679, 342865763, 1499242942, 907557513, 730682428, 596724165, 333889689, 462382782, 2055599410, 1639591160, 722831293, 219494903, 199170185, 815887679, 207696844, 770902344, 1819980298, 738639289, 1296491778, 568054228, 1733294784, 93309106, 1567087081, 986607412]::UBIGINT[] AS ac, [1151541058, 268062140, 2089750182, 1980614224, 812896393, 169222132, 1185498232, 629595552, 1781132953, 1349993687, 1328261053, 1901493143, 1850501472, 776605304, 1239854303, 412936598, 1513056504, 149368553, 98407116, 1420052172, 489407815, 1660151621, 621455910, 2115747110, 171351960, 1836780819, 499914620, 1860759513, 216898920, 816314859, 596943772, 973691209, 1365121943, 1791238511, 783471136, 349297012, 794957572, 762938025, 449912919, 1439190226, 573330498, 1507147647, 2011450404, 1467907436, 1391645397, 153335723, 1308098873, 1363605489, 367517440, 1147056643, 1565787882, 525727461, 350904183, 992696249, 814874363, 579708537, 2124985203, 1987262417, 1374389012, 1477816546, 1196040476, 471619987, 1470197911, 696391871]::UBIGINT[] AS bc
+    ),
+    t AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS nt
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, length(nt) AS ln,
+        list_transform(range(1, greatest(length(nt), 5) + 1),
+          i -> CASE WHEN i <= length(nt) THEN unicode(substr(nt, i, 1))::UBIGINT
+                    ELSE 0::UBIGINT END) AS codes
+      FROM t WHERE length(nt) > 0
+    ),
+    g AS (
+      SELECT doc_id,
+        list_transform(
+          list_transform(
+            list_transform(
+              list_transform(
+                list_transform(
+                  list_transform(range(0, greatest(ln - 5, 0) + 1), s ->
+                    ((((((((codes[s+1]::HUGEINT * 1099511628211 + codes[s+2])
+                      % 18446744073709551616) * 1099511628211 + codes[s+3])
+                      % 18446744073709551616) * 1099511628211 + codes[s+4])
+                      % 18446744073709551616) * 1099511628211 + codes[s+5])
+                      % 18446744073709551616)::UBIGINT),
+                  x -> xor(x, x >> 33)),
+                x -> ((x::HUGEINT * 3981806797 % 18446744073709551616
+                       + (x::HUGEINT * 4283543511 % 4294967296) * 4294967296)
+                      % 18446744073709551616)::UBIGINT),
+              x -> xor(x, x >> 33)),
+            x -> ((x::HUGEINT * 444984403 % 18446744073709551616
+                   + (x::HUGEINT * 3301882366 % 4294967296) * 4294967296)
+                  % 18446744073709551616)::UBIGINT),
+          x -> xor(x, x >> 33) % 2147483647) AS hm
+      FROM c
+    ),
+    s AS (
+      SELECT doc_id,
+        list_transform(range(1, 65), j ->
+          list_aggregate(
+            list_transform(hm, h -> (ac[j] * h + bc[j]) % 2147483647),
+            'min')) AS sig
+      FROM g CROSS JOIN coef
+    ),
+    p AS (
+      SELECT doc_id,
+        unnest(list_transform(range(0, 16), b ->
+          b::VARCHAR || ':' ||
+          array_to_string(list_slice(sig, 4 * b + 1, 4 * b + 4), '_'))) AS bkey
+      FROM s
+    )
+    , cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM p a JOIN p b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ),
+    gr AS (
+      SELECT doc_id,
+        list_distinct(list_transform(range(1, greatest(length(nt) - 5, 0) + 2),
+          i -> substr(nt, i, 5))) AS g
+      FROM t WHERE length(nt) > 0
+    ),
+    jac AS (
+      SELECT doc_a, doc_b,
+        len(list_intersect(ga.g, gb.g)) AS inter,
+        len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g)) AS uni
+      FROM cand
+      JOIN gr ga ON ga.doc_id = cand.doc_a
+      JOIN gr gb ON gb.doc_id = cand.doc_b
+    )
+    SELECT doc_a, doc_b FROM jac
+    WHERE CASE WHEN uni = 0 THEN 1.0 ELSE inter::DOUBLE / uni END >= 0.5
+    """,
+)
 def dedup_minhash_verified_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidates refined by the exact-Jaccard verify tier (≥ 0.5):
     the web-scale answer to the recall-biased (b=16, r=4) S-curve —
