@@ -37,6 +37,22 @@ class PairsConfig:
     max_block_size: int = 256
     salt_threshold: int = 32
     n_salts: int = 8
+    # How exact-text (e:) blocks turn into pairs:
+    #   "clique" (default) — every member pair, capped/salted like any other
+    #     block; matches the reference's score-all-candidates semantics and
+    #     keeps the pair ledger complete.
+    #   "star" — each member pairs only with the block's min doc_id, and the
+    #     e: family is EXEMPT from the size cap.  Every star edge is an
+    #     equal-text pair (text_sim = 1 ⇒ always a match), so connected
+    #     components — and therefore the entity table and pairwise F1 — are
+    #     IDENTICAL to clique's on under-cap groups, while a g-member
+    #     boilerplate group costs g−1 edges instead of g(g−1)/2 and is never
+    #     truncated: under "clique" a 10^7-copy group is capped at
+    #     max_block_size members and the rest NEVER join the entity; "star"
+    #     keeps all 10^7 with linear work.  The trade: the scored-pair
+    #     ledger no longer contains every within-group pair (documented
+    #     difference; tests/test_blocking_pairs.py proves cluster equality).
+    exact_strategy: str = "clique"
     # materialize the capped/sized block table once (lazy localCheckpoint)
     # before fanning into the small/salted join branches.  The staged
     # subtree feeds FOUR join inputs (left/right × plain/salted) and
@@ -181,6 +197,24 @@ def candidate_pairs(blocks: DataFrame, cfg: PairsConfig = PairsConfig()) -> Data
     """
     with_exact = "exact_hash" in blocks.columns
     cols = ["block_key", "doc_id"] + (["exact_hash"] if with_exact else [])
+    star = None
+    if cfg.exact_strategy == "star" and with_exact:
+        # e: blocks become uncapped min-rooted stars (see PairsConfig).  One
+        # groupBy + join on block_key (shared exchange); the join of a hot
+        # boilerplate key is skew-split by AQE — output is linear in the
+        # block size either way, which is the point.
+        e_blocks = blocks.where(F.col("block_key").startswith("e:")).select(
+            "block_key", "doc_id"
+        )
+        roots = e_blocks.groupBy("block_key").agg(
+            F.min("doc_id").alias("doc_a"), F.count("*").alias("n")
+        )
+        star = (
+            e_blocks.join(roots.where(F.col("n") >= 2), "block_key")
+            .where(F.col("doc_id") != F.col("doc_a"))
+            .select("doc_a", F.col("doc_id").alias("doc_b"))
+        )
+        blocks = blocks.where(~F.col("block_key").startswith("e:"))
     staged = _with_block_stats(blocks, cfg)
     if cfg.materialize_staged:
         staged = staged.localCheckpoint(eager=False)
@@ -189,4 +223,6 @@ def candidate_pairs(blocks: DataFrame, cfg: PairsConfig = PairsConfig()) -> Data
     pairs = _plain_pairs(small, with_exact).unionByName(
         _salted_pairs(big, cfg, with_exact)
     )
+    if star is not None:
+        pairs = pairs.unionByName(star)
     return pairs.dropDuplicates(["doc_a", "doc_b"])

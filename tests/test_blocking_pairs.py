@@ -70,6 +70,63 @@ def test_exact_suppression_preserves_pair_set(spark, docs500):
     assert raw_count(blocks, True) < raw_count(blocks, False)
 
 
+def test_star_exact_strategy_same_clusters(spark, docs500):
+    """exact_strategy='star' must produce EXACTLY the clusters of 'clique'
+    on under-cap corpora: every star edge is an equal-text pair (always a
+    match), so component connectivity is identical even though the pair
+    ledger is smaller."""
+    from mediachain_indexer_spark.operators.cluster import (
+        attach_components,
+        connected_components,
+    )
+    from mediachain_indexer_spark.operators.scoring import score_pairs
+
+    feats = normalize_documents(docs500).select(
+        "doc_id", "norm_text", "phashes"
+    ).persist()
+    blocks = build_blocks(feats).persist()
+
+    def clusters(strategy):
+        pairs = candidate_pairs(blocks, PairsConfig(exact_strategy=strategy))
+        matches = score_pairs(pairs, feats).where(F.col("is_match"))
+        out = attach_components(
+            feats.select("doc_id"), connected_components(matches)
+        )
+        return {(r["doc_id"], r["entity_id"]) for r in out.collect()}
+
+    n_clique = candidate_pairs(blocks, PairsConfig()).count()
+    n_star = candidate_pairs(blocks, PairsConfig(exact_strategy="star")).count()
+    assert n_star <= n_clique  # star never enlarges the ledger
+    assert clusters("star") == clusters("clique")
+    feats.unpersist()
+    blocks.unpersist()
+
+
+def test_star_exact_strategy_keeps_overcap_groups_whole(spark):
+    """A boilerplate group larger than max_block_size: 'clique' caps the e:
+    block (members beyond the cap never pair), 'star' keeps every member
+    with linear edges — the scale rationale for the strategy."""
+    n, cap = 40, 8
+    feats = spark.createDataFrame(
+        [(f"d{i:03d}", "identical boilerplate text here", None) for i in range(n)],
+        "doc_id string, norm_text string, phashes array<long>",
+    )
+    blocks = build_blocks(feats)
+    star_pairs = candidate_pairs(
+        blocks, PairsConfig(max_block_size=cap, exact_strategy="star")
+    ).collect()
+    # all n-1 edges, rooted at the min doc_id
+    assert len(star_pairs) == n - 1
+    assert {r["doc_a"] for r in star_pairs} == {"d000"}
+    assert {r["doc_b"] for r in star_pairs} == {f"d{i:03d}" for i in range(1, n)}
+    # clique mode on the same input is bounded by the cap
+    clique_pairs = candidate_pairs(blocks, PairsConfig(max_block_size=cap))
+    docs_in_pairs = clique_pairs.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("d")
+    ).distinct()
+    assert docs_in_pairs.count() == cap  # the other n-cap docs are dropped
+
+
 def test_size_cap_bounds_block_contribution(spark):
     """A block of n docs capped at K contributes at most C(K,2) pairs."""
     rows = [("hot", f"d{i:03d}") for i in range(50)]
