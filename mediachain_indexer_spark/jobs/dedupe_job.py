@@ -47,7 +47,12 @@ def run(spark, args) -> dict:
         if args.run_dir and args.run_id
         else None
     )
-    cfg = PipelineConfig(scoring_strategy=args.scoring_strategy)
+    from mediachain_indexer_spark.operators.pairs import PairsConfig
+
+    cfg = PipelineConfig(
+        scoring_strategy=args.scoring_strategy,
+        pairs=PairsConfig(exact_strategy=getattr(args, "exact_strategy", "clique")),
+    )
     res = run_pipeline(docs, cfg, runner=runner, entity_sink=args.entity_sink)
 
     metrics: dict = {
@@ -90,6 +95,14 @@ def main() -> None:
     ap.add_argument("--labels", default=None, help="labeled pairs parquet (eval)")
     ap.add_argument(
         "--scoring-strategy", default="join", choices=("join", "grouped")
+    )
+    ap.add_argument(
+        "--exact-strategy",
+        default="clique",
+        choices=("clique", "star"),
+        help="exact-text groups as capped cliques (score-every-candidate "
+        "parity) or uncapped min-rooted stars (linear cost on boilerplate "
+        "mega-groups, no members dropped; cluster-identical under the cap)",
     )
     ap.add_argument("--app-name", default="mediachain-dedupe")
     args = ap.parse_args()

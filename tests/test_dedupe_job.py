@@ -14,6 +14,7 @@ def _args(**kw):
         run_id=None,
         labels=None,
         scoring_strategy="join",
+        exact_strategy="clique",
     )
     base.update(kw)
     return argparse.Namespace(**base)
