@@ -41,14 +41,20 @@ PHASH_BANDS = 3  # see BlockingConfig.phash_bands
 
 @dataclass(frozen=True)
 class BlockingConfig:
-    # (b=12, r=5): steeper S-curve than (16, 4) — true dupes (shingle
-    # Jaccard ≳ 0.75) still collide with p ≥ 0.97 while near-miss hard
-    # negatives (J ≈ 0.6) drop from ~97% to ~60% collision; media bands
-    # independently catch every true pair within the Hamming radius.  At
-    # 10^12 docs wasted candidate pairs ARE the dominant cost — measured
-    # here: 6.1M → fewer pairs for identical F1 on the golden corpus.
+    # (b=12, r=6): S-curve 50%-threshold at (1/12)^(1/6) ≈ 0.66.  Junk
+    # collisions grow superlinearly with corpus size (measured: t-band raw
+    # pairs 16.9M @500k → 116M @2M docs under r=5), and at 10^12 docs wasted
+    # candidate pairs ARE the dominant cost.  Measured at 2M docs with the
+    # full pipeline + pairwise-F1 eval (see BENCH/BASELINE.md):
+    #   r=5: 85.5M pairs, score 241 s, F1 0.9997
+    #   r=6: 24.9M pairs (−71%), score 65 s (3.7×), F1 0.9997 (same P AND R)
+    #   r=7: 14.4M pairs (−83%), score 32 s (7.5×), F1 0.9998
+    # r=6 is the default — identical quality, 3.7× cheaper scoring at 2M,
+    # and the margin widens with corpus size; move to r=7 at 10^8+ docs.
+    # True dupes are additionally covered by the exact (e:) and media (p:)
+    # families, which is why recall holds as the text curve steepens.
     minhash_bands: int = 12
-    minhash_rows: int = 5  # signature length = bands * rows
+    minhash_rows: int = 6  # signature length = bands * rows
     shingle_n: int = 3
     seed: int = 42
     use_exact_text_key: bool = True
