@@ -25,6 +25,11 @@ from pyspark.sql import functions as F
 from mediachain_indexer_spark.functions.minhash import make_minhash_udf
 from mediachain_indexer_spark.functions.text import norm_text, tokens
 
+# frames persisted by the most recent verify-tier call (see ownership note
+# in minhash_near_duplicates): released at the NEXT call so a session that
+# sweeps many entries retains at most one call's worth of cache
+_VERIFY_TIER_CACHES: list[DataFrame] = []
+
 
 def exact_duplicates(
     docs: DataFrame, text_col: str = "text", max_members: int = 1000
@@ -175,7 +180,18 @@ def minhash_near_duplicates(
             )
         )
     )
+    # Cache ownership: the returned DataFrame's lineage still traverses
+    # cand (1×) and grams (4×: sza/szb/ga/gb — each including the banding
+    # self-join via the participant prune), so they must stay persisted
+    # until the CALLER materializes the result.  A plain persist leaks for
+    # the app's lifetime when one session sweeps many entries; instead the
+    # previous call's frames are released here, bounding retained cache to
+    # the most recent call.
+    for _old in _VERIFY_TIER_CACHES:
+        _old.unpersist()
+    _VERIFY_TIER_CACHES.clear()
     cand = cand.persist()  # feeds the participant prune AND the verify join
+    _VERIFY_TIER_CACHES.append(cand)
     participants = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
@@ -186,6 +202,7 @@ def minhash_near_duplicates(
         .select("doc_id", gram_hashes.alias("g"))
         .persist()
     )
+    _VERIFY_TIER_CACHES.append(grams)
     total_grams = grams.agg(F.sum(F.size("g"))).collect()[0][0] or 0
 
     # JVM size-ratio gate (exact upper bound, narrow columns only)
@@ -233,7 +250,11 @@ def minhash_near_duplicates(
         sza = np.fromiter((len(x) for x in xs), count=n, dtype=np.int64)
         szb = np.fromiter((len(y) for y in ys), count=n, dtype=np.int64)
         w_max = int((sza + szb).max())
-        rows = max(256, 4_000_000 // max(w_max, 1))
+        # no row floor: with one, a batch of megabyte-scale docs (w_max ≫
+        # 15k grams) would allocate floor·w_max·8 bytes — gigabytes — and
+        # OOM the Python worker; rows=1 keeps every chunk ≤ ~32 MB (a
+        # single pair wider than that is irreducible: one row IS the pair)
+        rows = max(1, 4_000_000 // max(w_max, 1))
         for lo in range(0, n, rows):
             hi = min(lo + rows, n)
             m = hi - lo

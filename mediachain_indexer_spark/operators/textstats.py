@@ -43,16 +43,34 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Whitespace tokens + a BPE-ish subword proxy (len/4 per token, ≥1)."""
-    toks = tokens(F.col(text_col))
-    subwords = F.aggregate(
-        toks,
-        F.lit(0),
-        lambda acc, t: acc + F.greatest(F.ceil(F.length(t) / 4).cast("int"), F.lit(1)),
+    """Whitespace tokens + a BPE-ish subword proxy (len/4 per token, ≥1).
+
+    Pure whole-stage-codegen arithmetic — no lambda / interpreted HOF in
+    the plan (the round-3 formulation ran an ``aggregate`` HOF per token,
+    the one remaining interpreted hot-ish path at 10¹² docs):
+
+    - ``norm_text`` emits tokens separated by exactly one space and trims,
+      so ``n_tokens = #spaces + 1``;
+    - ``Σ max(ceil(len_i/4), 1) = regexp_count(t, '[a-z0-9]{1,4}')``: the
+      greedy non-overlapping matcher consumes ≤4 alphabet chars at a time
+      and cannot cross a space, so it restarts per token — exactly
+      ``ceil(len_i/4)`` matches per token (the ``max(·,1)`` only binds for
+      the empty-string token, which after trim occurs only as the lone
+      token of empty text — the CASE below);
+    - empty normalized text: ``split`` yields ``[""]`` → both counts are 1
+      (bit-compatible with the HOF formulation and the DuckDB oracle).
+    """
+    t = norm_text(F.col(text_col))
+    n_norm = F.length(t)
+    n_tok = F.when(n_norm == 0, F.lit(1)).otherwise(
+        (F.regexp_count(t, F.lit(" ")) + 1).cast("int")
+    )
+    subwords = F.when(n_norm == 0, F.lit(1)).otherwise(
+        F.regexp_count(t, F.lit("[a-z0-9]{1,4}")).cast("int")
     )
     return docs.select(
         "doc_id",
-        F.size(toks).alias("n_tokens"),
+        n_tok.alias("n_tokens"),
         subwords.alias("n_subword_est"),
         F.length(text_col).alias("n_chars"),
     )

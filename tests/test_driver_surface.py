@@ -24,3 +24,29 @@ def test_catalog_entry_schema_is_atomic(spark, name):
         f"{name} returns nested columns {nested} — the driver canonicalizer "
         "cannot hash list/dict cells; project to scalars at the entry surface"
     )
+
+
+def test_entry_registration_window():
+    """The driver ledger records exactly the first 50 registered queries in
+    dict order (round-3 verdict): the 9 er_* flagship surfaces must register
+    FIRST and the total must be <=50 so none is silently unverified."""
+    import importlib
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if repo not in sys.path:
+        sys.path.insert(0, repo)
+    mod = importlib.import_module("__spark_entry__")
+    keys = list(mod.queries())
+    assert len(keys) <= 50
+    er = [k for k in keys if k.startswith("er_")]
+    assert keys[: len(er)] == er, "er_* entries must register first"
+    for flagship in (
+        "er_clusters",
+        "er_eval_f1",
+        "er_incremental_clusters",
+        "er_deleted_clusters",
+    ):
+        assert flagship in keys[:50]
+    assert set(mod.oracle_sql()) <= set(keys)
