@@ -90,7 +90,9 @@ def bench_er(spark, n_docs: int, warmup_docs: int = 3000) -> dict:
     matches = scored.where(F.col("is_match"))
     n_matches = matches.count()
     t_c = time.monotonic()
-    clusters = attach_components(docs, connected_components(matches))
+    clusters = attach_components(
+        docs, connected_components(matches, n_edges=n_matches)
+    )
     n_clustered = clusters.count()
     walls["cluster"] = round(time.monotonic() - t_c, 3)
     wall = time.monotonic() - t0
