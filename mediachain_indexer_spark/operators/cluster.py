@@ -156,12 +156,13 @@ def connected_components(
         answer exists; the old fingerprint-equality scheme needed one extra
         full round just to observe that nothing changed (measured on the
         100k bench graph: 2 rounds instead of 3-4, 6.4s → 2.8s,
-        bit-identical output).  The violation-count groupBy doubles as the
-        action that materializes the round's lazy localCheckpoint — one
-        Spark job per round — and on the converged round its per-node
-        degree frame IS the component assignment (``_star_degrees``), so
-        the answer is read back out of that round's shuffle files instead
-        of re-shuffling the edge set through a members∪roots distinct.
+        bit-identical output).  One undirected min/max-neighbor groupBy
+        per star op (``_star_stats``) serves the convergence test AND both
+        ops' minima, its count doubles as the action that materializes the
+        op's lazy checkpoint — one Spark job per op — and on the converged
+        op the aggregate IS the component assignment, read back out of its
+        cache instead of re-shuffling the edge set through a members∪roots
+        distinct.  Ops alternate small★-first (see the loop comment).
     (b) the loop runs at its own DATA-sized shuffle width: ~1 partition per
         300k edges, clamped to [8, max(16, 2×parallelism)] — a 340k-edge
         graph loops at 8 partitions instead of 32+, roughly halving

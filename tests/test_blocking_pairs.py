@@ -208,3 +208,34 @@ def test_banding_decisions_agree_across_minhash_impls(spark):
         assert np_pairs == expected_pairs
 
     prop()
+
+
+def test_cap_blocks_matches_window_reference(spark):
+    """The round-4 cap_blocks (partial-agg sizes + shuffle-hash join +
+    over-cap-only rank window) must be row-identical to the round-3
+    all-window formulation at every cap, including caps that force the
+    over-cap sampling path on a skewed synthetic table."""
+    from pyspark.sql import Window
+
+    from mediachain_indexer_spark.operators.pairs import cap_blocks
+
+    rows = []
+    for b, n in (("k_single", 1), ("k_pair", 2), ("k_mid", 7), ("k_hot", 40)):
+        rows += [(b, f"d{b}_{i:03d}") for i in range(n)]
+    blocks = spark.createDataFrame(rows, "block_key string, doc_id string")
+
+    def reference(bl, cap):
+        w = Window.partitionBy("block_key")
+        w_rank = w.orderBy(F.xxhash64("doc_id"), F.col("doc_id"))
+        return (
+            bl.withColumn("bsize", F.count("*").over(w))
+            .withColumn("brank", F.row_number().over(w_rank))
+            .where((F.col("bsize") >= 2) & (F.col("brank") <= cap))
+            .withColumn("bsize", F.least(F.col("bsize"), F.lit(cap)))
+            .drop("brank")
+        )
+
+    for cap in (64, 10, 3, 2):
+        got = cap_blocks(blocks, cap).select("block_key", "doc_id", "bsize")
+        want = reference(blocks, cap).select("block_key", "doc_id", "bsize")
+        assert got.exceptAll(want).union(want.exceptAll(got)).count() == 0, cap
