@@ -197,7 +197,9 @@ def _er_deleted_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mediachain_indexer_spark.sources.io import SPANS_SCHEMA, read_documents
 
     paths = write_corpus(os.path.join(_REPO, ".cache", "fx500"), 500)
-    base = "qwertyuiopasdfghjklzxcvbnmqwer"
+    # 120 chars: 1-edit neighbors clear the 0.99 text-only threshold
+    # (119/120), the 2-edit A-C pair misses it (tests/test_delete.py)
+    base = "qwertyuiopasdfghjklzxcvbnmqwer" * 4
     chain = spark.createDataFrame(
         [
             ("x_chain_a", [("text", base, None, 0)]),

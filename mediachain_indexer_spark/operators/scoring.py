@@ -33,9 +33,18 @@ HAMMING_FAR = 64  # sentinel when either side has no media
 class ScoringConfig:
     # accept iff (min_hamming <= hamming_radius AND text_sim >= text_floor)
     #         OR text_sim >= text_only_threshold
+    #
+    # Defaults re-tuned round 4 under the corrected dominance rule
+    # (.cache/grid2m_r4.json + validate_thresholds_2m.json): the old
+    # (8, 0.50, 0.96) cell ranked 19/36 on the 2M pair-level sweep; the
+    # adopted (8, 0.40, 0.99) cell is sweep-optimal AND wins the full
+    # cluster-level validation at 2M docs — pairwise F1 0.999742 →
+    # 0.999978 with precision and recall BOTH up — while cutting the score
+    # wall 68.6 → 46.1 s (the lower floor seals more rows before the JW
+    # cascade; the higher τ tightens the text-only channel).
     hamming_radius: int = 8
-    text_floor: float = 0.50
-    text_only_threshold: float = 0.96
+    text_floor: float = 0.40
+    text_only_threshold: float = 0.99
     # fan-out width for the score stage; None → 2 × defaultParallelism.
     # The upstream pair table is AQE-coalesced to few partitions (it is
     # byte-small), but scoring is CPU-heavy per row (2× levenshtein O(mn) +

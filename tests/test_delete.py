@@ -5,8 +5,9 @@ remaining corpus.
 Deletion is the hard mutation for transitive clustering — removing a bridge
 doc must split its entity, and removing an entity's canonical-min doc must
 re-root the survivors.  The chain fixture is engineered on the scoring
-math: A~B and B~C pass the text-only threshold (text_sim ≥ 0.96) while A≁C
-misses it (0.944), so {A, B, C} is one entity exactly while B exists.
+math (round-4 defaults): A~B and B~C pass the text-only threshold
+(1-edit lev_sim = 119/120 ≈ 0.992 ≥ 0.99) while A≁C misses it (2 edits,
+118/120 ≈ 0.983 < 0.99), so {A, B, C} is one entity exactly while B exists.
 """
 
 from __future__ import annotations
@@ -22,8 +23,9 @@ from mediachain_indexer_spark.plans.ingest import (
 from mediachain_indexer_spark.plans.pipeline import run_pipeline
 from mediachain_indexer_spark.sources.io import SPANS_SCHEMA
 
-_BASE = "qwertyuiopasdfghjklzxcvbnmqwer"  # 30 chars; edits at the head kill
-# the Winkler prefix boost, keeping the A-C pair under the 0.96 threshold
+_BASE = "qwertyuiopasdfghjklzxcvbnmqwer" * 4  # 120 chars; edits at the head
+# kill the Winkler prefix boost, keeping the A-C pair under the 0.99
+# threshold while 1-edit neighbors clear it (119/120)
 
 
 def _chain_docs(spark):
