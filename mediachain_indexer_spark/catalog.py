@@ -1339,8 +1339,53 @@ def dedup_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash64(load_table(spark, sf_dir, "documents"))
 
 
-@_q("similarity_lsh_pairs")
+def _lsh_pairs_oracle(
+    dim: int = 64, n_planes: int = 12, min_cosine: float = 0.2, seed: int = 42
+) -> str:
+    """DuckDB twin of ``cosine_neighbors_lsh``: the hyperplane constants
+    are embedded as full-precision literals (same seed-derived values the
+    Spark kernel closes over), each sign bit is a ``list_dot_product``
+    against the float64-upcast embedding, and the bucket join + exact
+    cosine refine replays end to end.  Numeric parity holds because the
+    Spark kernels upcast to float64 BEFORE the multiply and reduce with
+    einsum's sequential fold (vecmath module docstring) and both engines
+    round to 6 digits before the threshold."""
+    from mediachain_indexer_spark.operators.similarity import _planes
+
+    planes = _planes(dim, n_planes, seed)
+    plane_lits = ", ".join(
+        "[" + ", ".join(repr(x) for x in p) + "]" for p in planes
+    )
+    bits = " || ".join(
+        f"(CASE WHEN list_dot_product(e, planes[{j + 1}]) >= 0 "
+        "THEN '1' ELSE '0' END)"
+        for j in range(n_planes)
+    )
+    return f"""
+    WITH pl AS (SELECT [{plane_lits}]::DOUBLE[][] AS planes),
+    v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    s AS (SELECT vec_id, e, {bits} AS bucket FROM v CROSS JOIN pl),
+    pr AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+        CASE WHEN sqrt(list_dot_product(a.e, a.e))
+                  * sqrt(list_dot_product(b.e, b.e)) = 0 THEN 0.0
+             ELSE round(list_dot_product(a.e, b.e)
+                  / (sqrt(list_dot_product(a.e, a.e))
+                     * sqrt(list_dot_product(b.e, b.e))), 6)
+        END AS cosine
+      FROM s a JOIN s b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cosine FROM pr WHERE cosine >= {min_cosine}
+    """
+
+
+@_q("similarity_lsh_pairs", oracle=_lsh_pairs_oracle())
 def similarity_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-oracle entry since round 4: DuckDB re-derives every hyperplane
+    sign bit, bucket, and refined cosine (``_lsh_pairs_oracle``)."""
     from mediachain_indexer_spark.operators.similarity import cosine_neighbors_lsh
 
     return cosine_neighbors_lsh(
