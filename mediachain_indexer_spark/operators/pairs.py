@@ -74,38 +74,32 @@ def cap_blocks(blocks: DataFrame, max_block_size: int) -> DataFrame:
     members on over-cap blocks and stay bit-identical everywhere, not just
     on under-cap corpora.
 
-    Shuffle shape: the round-3 formulation ran count + row_number windows
-    over the whole block table — a full SORT of every partition, the
-    largest single cost of the pairs stage at 16 cores (~4.7s of a 13s
-    stage).  Sizes now come from a partial-agg ``groupBy`` (map-side
-    combine → the shuffle carries one row per distinct key per map
-    partition) attached back with a shuffle-HASH join (hinted: a sort-merge
-    join would just re-buy the sort on both sides), and the rank window
-    runs ONLY on the over-cap slice — at healthy cap settings a sliver of
-    the table.  The block-table exchange this join forces is the same
-    hashpartitioning(block_key) the downstream self-join needs, so no new
-    full shuffle is introduced, and the sort volume drops from |blocks| to
-    |over-cap blocks|.
+    Shuffle shape — a measured round-4 dead end is recorded here so it is
+    not retried: both count and rank windows share ONE
+    hashpartitioning(block_key) exchange and ONE in-partition sort, and
+    that sort is also the partitioning the downstream self-join reuses.  A
+    "sort-free" variant (sizes via partial-agg groupBy + join-back, rank
+    window only on the over-cap slice) was built, proven row-identical at
+    every cap, and benchmarked: wall-NEUTRAL at 500k/16c (the stage is
+    shuffle-round-bound, not sort-bound), then strictly worse at 4M docs —
+    a shuffle-hash hint on the join-back OOM'd
+    (ShuffledHashJoinExec.buildHashedRelation cannot spill its build side
+    while the feature/block caches hold the unified-memory pool), and the
+    planner's sort-merge fallback tripled the stage wall (85.6 → 260 s:
+    TWO spilling SMJ sorts + an extra exchange replacing one in-memory
+    window sort that never actually spilled).  The window formulation
+    stays; BENCH/BASELINE.md Study E carries the numbers.
     """
-    sizes = (
-        blocks.groupBy("block_key")
-        .agg(F.count("*").alias("bsize"))
-        .where(F.col("bsize") >= 2)
-    )
-    sized = blocks.join(sizes.hint("shuffle_hash"), "block_key")
-    under = sized.where(F.col("bsize") <= max_block_size)
-    w_rank = Window.partitionBy("block_key").orderBy(
-        F.xxhash64("doc_id"), F.col("doc_id")
-    )
-    over = (
-        sized.where(F.col("bsize") > max_block_size)
+    w = Window.partitionBy("block_key")
+    w_rank = w.orderBy(F.xxhash64("doc_id"), F.col("doc_id"))
+    return (
+        blocks.withColumn("bsize", F.count("*").over(w))
         .withColumn("brank", F.row_number().over(w_rank))
-        .where(F.col("brank") <= max_block_size)
-        # routing below must see capped sizes
-        .withColumn("bsize", F.lit(max_block_size).cast("long"))
+        .where((F.col("bsize") >= 2) & (F.col("brank") <= max_block_size))
+        # recompute size after the cap so routing below sees capped sizes
+        .withColumn("bsize", F.least(F.col("bsize"), F.lit(max_block_size)))
         .drop("brank")
     )
-    return under.unionByName(over.select(*under.columns))
 
 
 def _with_block_stats(blocks: DataFrame, cfg: PairsConfig) -> DataFrame:
