@@ -267,18 +267,72 @@ def _er_eval_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
 # er_* surfaces).  So: the 9 er_* pipeline entries register FIRST, and four
 # catalog entries whose operator family already has another green hash-match
 # row are withheld from registration (still implemented + pytest-covered in
-# catalog.py) to land at exactly 50:
-#   text_token_stats      — token counting covered by text_token_counts
-#   date_extract_parts    — date/time fns covered by date_funcs_events_daily
-#                           and window_tumbling_events_10min
-#   text_fingerprint_md5  — fingerprinting covered by text_rolling_fingerprint
-#   window_lag_order_gap_days — lag() covered by sessionization_gap30
+# catalog.py) to land at exactly 50.
+#
+# The withheld set ROTATES per round (round-4 verdict #8) so every catalog
+# entry has a recorded driver hash-match within the last two rounds.  Round
+# 4 withheld {text_token_stats, date_extract_parts, text_fingerprint_md5,
+# window_lag_order_gap_days}; those four register again this round, and four
+# entries that were hash-green in BOTH r03 and r04 sit out instead — each
+# from a family that keeps at least one other registered green entry:
+#   setop_union_nation_region_names — setops covered by setop_priority_customers
+#   agg_cube_status_priority  — grouping covered by agg_rollup_orders +
+#                               agg_grouping_sets
+#   window_rank_family        — windows covered by window_top3/running_revenue
+#   date_funcs_events_daily   — dates covered by window_tumbling_events_10min
+#                               and the re-entering date_extract_parts
 _WITHHELD = (
-    "text_token_stats",
-    "date_extract_parts",
-    "text_fingerprint_md5",
-    "window_lag_order_gap_days",
+    "setop_union_nation_region_names",
+    "agg_cube_status_priority",
+    "window_rank_family",
+    "date_funcs_events_daily",
 )
+
+
+def _er_normalize_features_oracle() -> str:
+    """DuckDB twin of the normalize stage over the fx2000 spans parquet.
+
+    Fully SQL-expressible (round-4 verdict #1): span ordering is UNNEST +
+    ``ORDER BY offset`` inside ``string_agg``; the text cleanup chain is
+    lower → regexp_replace('[^a-z0-9]+', ' ') → trim (functions/text.py
+    norm_text); the fixture's hex-embedded pHash (``m:<16-hex>``,
+    functions/phash.py) parses via DuckDB's '0x…'→UBIGINT cast with a
+    two's-complement fold to the signed 64-bit value Spark carries.  The
+    fixture corpus guarantees every media_ref matches the hex form, so the
+    xxhash64 fallback branch never fires (sources/fixtures.py media_ref_of).
+    """
+    spans = os.path.join(
+        _REPO, ".cache", f"fx{_ER_N_DOCS}", "spans_documents.parquet"
+    )
+    return f"""
+WITH flat AS (
+  SELECT doc_id, u.kind AS kind, u.text AS text,
+         u.media_ref AS media_ref, u."offset" AS off
+  FROM (SELECT doc_id, UNNEST(spans) AS u
+        FROM read_parquet('{spans}/*.parquet'))
+),
+txt AS (
+  SELECT doc_id,
+         TRIM(REGEXP_REPLACE(LOWER(string_agg(text, ' ' ORDER BY off)),
+                             '[^a-z0-9]+', ' ', 'g')) AS norm_text
+  FROM flat WHERE kind = 'text' AND text IS NOT NULL GROUP BY doc_id
+),
+ph AS (
+  SELECT doc_id,
+         string_agg(CAST(CAST(
+           CAST(CAST(CONCAT('0x', SUBSTR(media_ref, 3, 16)) AS UBIGINT) AS HUGEINT)
+           - CASE WHEN CAST(CONCAT('0x', SUBSTR(media_ref, 3, 16)) AS UBIGINT)
+                       >= CAST('0x8000000000000000' AS UBIGINT)
+                  THEN CAST('18446744073709551616' AS HUGEINT) ELSE 0 END
+         AS BIGINT) AS VARCHAR), ',' ORDER BY off) AS phashes_csv
+  FROM flat WHERE kind = 'media' AND media_ref IS NOT NULL GROUP BY doc_id
+),
+ids AS (SELECT DISTINCT doc_id FROM flat)
+SELECT ids.doc_id AS doc_id,
+       COALESCE(txt.norm_text, '') AS norm_text,
+       COALESCE(ph.phashes_csv, '') AS phashes_csv
+FROM ids LEFT JOIN txt USING (doc_id) LEFT JOIN ph USING (doc_id)
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -304,11 +358,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """ANSI-SQL oracles for every SQL-expressible ``queries()`` entry; the
-    er_* pipeline stages are intentionally omitted (MinHash/xxhash64/iterative
-    CC are not DuckDB-expressible) → driver records rows-only checks."""
-    from mediachain_indexer_spark import catalog
+    """ANSI-SQL oracles for every SQL-expressible ``queries()`` entry.
 
-    return {
-        k: v for k, v in catalog.oracle_sql().items() if k not in _WITHHELD
-    }
+    ``er_normalize_features`` now carries a DuckDB oracle over the fixture
+    spans parquet itself (round-4 verdict #1) — the one flagship slice whose
+    kernel is pure SQL.  The remaining er_* stages are intentionally omitted
+    (MinHash/xxhash64-over-long-strings, iterative CC, and mutating stores
+    are not DuckDB-expressible end-to-end) → driver records rows-only checks
+    backed by the pytest oracles (networkx CC, brute-force blocking recall,
+    incremental ≡ batch)."""
+    from mediachain_indexer_spark import catalog
+    from mediachain_indexer_spark.sources.fixtures import write_corpus
+
+    # idempotent (done-marker): guarantees the spans parquet the oracle
+    # reads exists even if the driver evaluates SQL before the Spark side
+    write_corpus(os.path.join(_REPO, ".cache", f"fx{_ER_N_DOCS}"), _ER_N_DOCS)
+    out = {"er_normalize_features": _er_normalize_features_oracle()}
+    out.update(
+        {k: v for k, v in catalog.oracle_sql().items() if k not in _WITHHELD}
+    )
+    return out

@@ -49,4 +49,33 @@ def test_entry_registration_window():
         "er_deleted_clusters",
     ):
         assert flagship in keys[:50]
-    assert set(mod.oracle_sql()) <= set(keys)
+    oracles = mod.oracle_sql()
+    assert set(oracles) <= set(keys)
+    # round-5: er_normalize_features graduated to a DuckDB hash-match
+    assert "er_normalize_features" in oracles
+    # round-5 rotation (round-4 verdict #8): the four entries withheld in
+    # r04 must register this round so r04∪r05 covers every catalog entry
+    for rotated_in in (
+        "text_token_stats",
+        "date_extract_parts",
+        "text_fingerprint_md5",
+        "window_lag_order_gap_days",
+    ):
+        assert rotated_in in keys and rotated_in in oracles
+    # the newly-withheld four must all have been hash-green in r03 AND r04
+    # (checked against the committed ledgers, not hardcoded trust)
+    import json
+
+    prev = {}
+    for ledger in ("CORRECTNESS_r03.json", "CORRECTNESS_r04.json"):
+        p = os.path.join(repo, ledger)
+        if os.path.exists(p):
+            with open(p) as f:
+                prev[ledger] = json.load(f)
+    for withheld in mod._WITHHELD:
+        assert withheld not in keys
+        for ledger, data in prev.items():
+            if withheld in data:
+                assert data[withheld].get("hash_match") is True, (
+                    f"{withheld} withheld but not hash-green in {ledger}"
+                )

@@ -4,7 +4,11 @@ Runs every ``queries()`` entry on Spark and (where present) the matching
 ``oracle_sql()`` on DuckDB over the same parquet, comparing row count, column
 names, and an order-insensitive value hash.  Usage:
 
-    python tools/oracle_check.py [sf_dir] [only_query ...]
+    python tools/oracle_check.py [--entry] [sf_dir] [only_query ...]
+
+``--entry`` sweeps ``__spark_entry__.queries()/oracle_sql()`` in driver
+registration order (the exact surface the ledger records, incl. the er_*
+fixture slices and the rotated withheld window) instead of the full catalog.
 """
 
 from __future__ import annotations
@@ -34,10 +38,13 @@ def value_hash(rows: list[tuple], cols: list[str]) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    entry_mode = "--entry" in argv
+    if entry_mode:
+        argv.remove("--entry")
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
-    from mediachain_indexer_spark import catalog
     from mediachain_indexer_spark.session import get_spark
 
     spark = get_spark(app_name="oracle-check", cores=8, shuffle_partitions=8)
@@ -49,8 +56,16 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
-    qs = catalog.queries()
-    oracles = catalog.oracle_sql()
+    if entry_mode:
+        import __spark_entry__ as mod
+
+        qs = mod.queries()
+        oracles = mod.oracle_sql()
+    else:
+        from mediachain_indexer_spark import catalog
+
+        qs = catalog.queries()
+        oracles = catalog.oracle_sql()
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
