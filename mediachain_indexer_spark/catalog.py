@@ -1231,7 +1231,16 @@ def _xxh64_ascii_cte_chain(src: str, out: str) -> str:
 
     Domain: ASCII tokens of 1..8 bytes (the normalized-alphabet tokenizer
     guarantees [a-z0-9]+; 8 is the max token length in every driver
-    fixture, asserted loudly by an ``error()`` guard below).  Within it the
+    fixture, asserted loudly by an ``error()`` guard below).
+
+    FIXTURE-COUPLING HAZARD (round-4 advice): the guard makes a 9+-byte
+    token a hard oracle failure (ledger ``err``), not a rows-only fallback —
+    intentionally loud, because a silent hash mismatch would read as an
+    engine bug.  The invariant is a property of the DRIVER's testdata
+    generator (every sf tier's documents.parquet, re-checked round 4); if a
+    future round's fixtures add longer tokens, extend the small-input path
+    with the 9..16-byte branch (one more 8-byte word mix CTE in the chain
+    below) rather than relaxing the guard.  Within it the
     full XXH64 small-input path is expressed in SQL: one little-endian
     8-byte word mix OR a 4-byte word mix plus up to three tail-byte mixes,
     then the 33/29/32 avalanche.  64×64-bit products run as HUGEINT with

@@ -161,7 +161,11 @@ def make_hyperplane_bucket_udf(planes: list[list[float]]):
 
     def bucket(v: pd.Series) -> pd.Series:
         X = _stack(v)
-        signs = X @ P >= 0.0  # (batch, n_planes)
+        # einsum (not BLAS @): sign bits feed the DuckDB oracle, whose
+        # list_dot_product folds sequentially — BLAS's reordered
+        # accumulation could flip a bit on a dot product within rounding
+        # error of 0.  Signs are computed once per vector; cost negligible.
+        signs = np.einsum("ij,jk->ik", X, P) >= 0.0  # (batch, n_planes)
         codes = np.where(signs, ord("1"), ord("0")).astype(np.uint32)
         s = np.ascontiguousarray(codes).view(f"U{n_planes}").ravel()
         return pd.Series(s)

@@ -23,12 +23,22 @@ Critical scale details:
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # the converged per-node aggregate backing the most recent
 # connected_components result stays cached until the NEXT call (the caller
-# materializes the returned projection lazily); bounded to one call's worth
+# materializes the returned projection lazily); bounded to one call's worth.
+# _CC_LOCK serializes the unpersist/append hand-off: without it, concurrent
+# calls from multiple driver threads could interleave the sequence and leak
+# (or double-release) a frame.  Contract for callers: materialize a result
+# BEFORE issuing the next connected_components call if you want the final
+# projection to be a cache read — a later call may evict the aggregate, in
+# which case the projection recomputes through the held checkpoint blocks
+# (correct, just slower).
+_CC_LOCK = threading.Lock()
 _CC_FINAL_CACHES: list[DataFrame] = []
 
 
@@ -275,10 +285,11 @@ def connected_components(
                     F.least("u", "mn").alias("entity_id"),
                 )
                 _cached.remove(stats)
-                for _old in _CC_FINAL_CACHES:
-                    _old.unpersist()
-                _CC_FINAL_CACHES.clear()
-                _CC_FINAL_CACHES.append(stats)
+                with _CC_LOCK:
+                    for _old in _CC_FINAL_CACHES:
+                        _old.unpersist()
+                    _CC_FINAL_CACHES.clear()
+                    _CC_FINAL_CACHES.append(stats)
                 break
             if op_large:
                 und = e.select("u", "v").unionByName(

@@ -19,6 +19,8 @@ Parity anchor: the reference's dedupe candidate models
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -27,7 +29,11 @@ from mediachain_indexer_spark.functions.text import norm_text, tokens
 
 # frames persisted by the most recent verify-tier call (see ownership note
 # in minhash_near_duplicates): released at the NEXT call so a session that
-# sweeps many entries retains at most one call's worth of cache
+# sweeps many entries retains at most one call's worth of cache.  The lock
+# serializes the release/append hand-off against concurrent driver threads;
+# callers must materialize a result before the next call to keep the
+# cache-read fast path (a later call may evict first — recompute, correct).
+_VERIFY_TIER_LOCK = threading.Lock()
 _VERIFY_TIER_CACHES: list[DataFrame] = []
 
 
@@ -187,11 +193,12 @@ def minhash_near_duplicates(
     # the app's lifetime when one session sweeps many entries; instead the
     # previous call's frames are released here, bounding retained cache to
     # the most recent call.
-    for _old in _VERIFY_TIER_CACHES:
-        _old.unpersist()
-    _VERIFY_TIER_CACHES.clear()
-    cand = cand.persist()  # feeds the participant prune AND the verify join
-    _VERIFY_TIER_CACHES.append(cand)
+    with _VERIFY_TIER_LOCK:
+        for _old in _VERIFY_TIER_CACHES:
+            _old.unpersist()
+        _VERIFY_TIER_CACHES.clear()
+        cand = cand.persist()  # feeds the participant prune AND the verify join
+        _VERIFY_TIER_CACHES.append(cand)
     participants = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
@@ -202,7 +209,8 @@ def minhash_near_duplicates(
         .select("doc_id", gram_hashes.alias("g"))
         .persist()
     )
-    _VERIFY_TIER_CACHES.append(grams)
+    with _VERIFY_TIER_LOCK:
+        _VERIFY_TIER_CACHES.append(grams)
     total_grams = grams.agg(F.sum(F.size("g"))).collect()[0][0] or 0
 
     # JVM size-ratio gate (exact upper bound, narrow columns only)

@@ -29,6 +29,36 @@ from mediachain_indexer_spark.functions.vecmath import (
 )
 
 
+
+# Query-side size boundary (round-4 verdict #5): both driver-side query
+# collects below are the explicit form of a broadcast and share its size
+# bound.  Above this, the "query set" is corpus-shaped and the right tool
+# is the bucketed corpus×corpus path (cosine_neighbors_lsh) — fail loudly
+# instead of silently filling driver memory.
+DEFAULT_MAX_QUERIES = 100_000
+
+
+def _collect_query_side(
+    query: DataFrame, id_col: str, vec_col: str, max_queries: int, caller: str
+) -> list:
+    """Collect the query side with a hard row bound.
+
+    ``limit(max_queries + 1)`` bounds the transfer BEFORE collect — the
+    driver never materializes more than one row past the cap even when the
+    caller passes a corpus-sized frame by mistake.
+    """
+    rows = query.select(id_col, vec_col).limit(max_queries + 1).collect()
+    if len(rows) > max_queries:
+        raise ValueError(
+            f"{caller}: query side exceeds max_queries={max_queries}. "
+            "The query set is collected to the driver (broadcast-style); a "
+            "corpus-sized query side belongs in the bucketed corpus-level "
+            "path instead (cosine_neighbors_lsh), or raise max_queries "
+            "explicitly if the driver has the memory."
+        )
+    return rows
+
+
 def cosine_topk_bruteforce(
     vectors: DataFrame,
     query: DataFrame,
@@ -36,12 +66,16 @@ def cosine_topk_bruteforce(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    max_queries: int = DEFAULT_MAX_QUERIES,
 ) -> DataFrame:
     """Exact top-k neighbors of each query vector.
 
     Scale shape: the query set is the SMALL side — it is collected to the
-    driver (the explicit form of a broadcast; same size bound applies) and
-    baked into the cosine kernel's closure as an (nq, dim) matrix.  The
+    driver (the explicit form of a broadcast; same size bound applies,
+    ENFORCED via ``max_queries`` — a corpus-sized query side raises instead
+    of exhausting driver memory; use ``cosine_neighbors_lsh`` for
+    corpus×corpus) and baked into the cosine kernel's closure as an
+    (nq, dim) matrix.  The
     corpus is scanned once, crosses Arrow once (vector column only — the
     naive crossJoin(broadcast(q)) re-ships the constant query vector with
     every corpus row), and each Arrow batch computes all nq cosines as one
@@ -54,7 +88,9 @@ def cosine_topk_bruteforce(
         make_multi_query_cosine_udf,
     )
 
-    qrows = query.select(id_col, vec_col).collect()
+    qrows = _collect_query_side(
+        query, id_col, vec_col, max_queries, "cosine_topk_bruteforce"
+    )
     if not qrows:
         schema = "query_id long, neighbor_id long, cosine double, rnk int"
         return vectors.sparkSession.createDataFrame([], schema)
@@ -172,6 +208,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     round_digits: int = 6,
     centroids=None,
+    max_queries: int = DEFAULT_MAX_QUERIES,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: the ANN scale path.
 
@@ -196,7 +233,7 @@ def ivf_topk(
     )
 
     spark = vectors.sparkSession
-    qrows = query.select(id_col, vec_col).collect()
+    qrows = _collect_query_side(query, id_col, vec_col, max_queries, "ivf_topk")
     if not qrows:
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, cosine double, rnk int"

@@ -211,10 +211,14 @@ def test_banding_decisions_agree_across_minhash_impls(spark):
 
 
 def test_cap_blocks_matches_window_reference(spark):
-    """The round-4 cap_blocks (partial-agg sizes + shuffle-hash join +
-    over-cap-only rank window) must be row-identical to the round-3
-    all-window formulation at every cap, including caps that force the
-    over-cap sampling path on a skewed synthetic table."""
+    """cap_blocks (the shipped all-window formulation) must be row-identical
+    to this test's independent inline window reference at every cap,
+    including caps that force the over-cap sampling path on a skewed
+    synthetic table.  (The round-4 sort-free variant — partial-agg sizes +
+    shuffle-hash join + over-cap-only rank window — was proven identical
+    here, then reverted for the 4M-doc OOM/SMJ regression recorded in
+    pairs.py; this test stays as the regression guard if that rewrite is
+    ever retried.)"""
     from pyspark.sql import Window
 
     from mediachain_indexer_spark.operators.pairs import cap_blocks
