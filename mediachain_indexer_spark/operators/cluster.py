@@ -338,6 +338,10 @@ def attach_components(all_docs: DataFrame, components: DataFrame) -> DataFrame:
 
     Singletons (docs in no accepted pair) become their own entity — the same
     canonical-id convention (min doc_id = itself).
+
+    ``all_docs`` only needs a ``doc_id`` column: pass the pipeline's
+    PERSISTED features frame (1:1 with the raw docs) rather than the raw
+    source so the final join reads the cache instead of re-scanning parquet.
     """
     return all_docs.select("doc_id").join(components, "doc_id", "left").select(
         "doc_id", F.coalesce("entity_id", "doc_id").alias("entity_id")

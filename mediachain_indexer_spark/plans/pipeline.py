@@ -102,11 +102,11 @@ def run_pipeline(
         if runner is not None:
             clusters = runner.run(
                 "cluster",
-                lambda: attach_components(docs, connected_components(matches)),
+                lambda: attach_components(features, connected_components(matches)),
                 key_col="entity_id",
             )
         else:
-            clusters = attach_components(docs, connected_components(matches))
+            clusters = attach_components(features, connected_components(matches))
     elif runner is not None:
         features = runner.run("normalize", lambda: features, key_col="doc_id")
         blocks = runner.run(
@@ -121,7 +121,7 @@ def run_pipeline(
         matches = scored.where(F.col("is_match"))
         clusters = runner.run(
             "cluster",
-            lambda: attach_components(docs, connected_components(matches)),
+            lambda: attach_components(features, connected_components(matches)),
             key_col="entity_id",
         )
     else:
@@ -133,7 +133,7 @@ def run_pipeline(
         # scan→block→pair→score DAG re-executes per action
         scored = score_pairs(pairs, features, cfg.scoring).persist()
         matches = scored.where(F.col("is_match"))
-        clusters = attach_components(docs, connected_components(matches))
+        clusters = attach_components(features, connected_components(matches))
 
     sink_stats = None
     if entity_sink is not None:

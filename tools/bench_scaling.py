@@ -49,6 +49,7 @@ def run_level(cores: int, shuffle: int, n_docs: int, runs: int) -> list[dict]:
             "--cores", str(cores),
             "--shuffle-partitions", str(shuffle),
             "--er-only",
+            "--er-reps", "1",  # this tool medians across separate JVM runs
             "--n-docs", str(n_docs),
             "--json-file", jf,
         ]
