@@ -49,16 +49,6 @@ def run(spark, args) -> dict:
     )
     from mediachain_indexer_spark.operators.pairs import PairsConfig
 
-    if args.scoring_strategy == "grouped" and getattr(args, "exact_strategy", "clique") == "star":
-        # score_pairs_in_blocks generates pairs in-worker with clique-with-cap
-        # semantics only: star's "mega-groups never truncated" guarantee
-        # would silently not hold — reject rather than mislead
-        raise SystemExit(
-            "--exact-strategy star is not implemented for "
-            "--scoring-strategy grouped (the in-worker scorer applies "
-            "clique-with-cap semantics); use --scoring-strategy join with "
-            "star, or grouped with clique"
-        )
     cfg = PipelineConfig(
         scoring_strategy=args.scoring_strategy,
         pairs=PairsConfig(exact_strategy=getattr(args, "exact_strategy", "clique")),

@@ -234,6 +234,7 @@ def score_pairs_in_blocks(
     cfg: ScoringConfig = ScoringConfig(),
     max_block_size: int = 256,
     max_pairs_per_kernel: int = 65_536,
+    exact_strategy: str = "clique",
 ) -> DataFrame:
     """Fallback scorer: pair generation AND scoring inside the Python
     worker, per block — no pair table ever shuffles.
@@ -246,6 +247,22 @@ def score_pairs_in_blocks(
     xxhash64-rank rule as the join path (identical sampled members on
     over-cap blocks — tests/test_scoring_grouped.py asserts bit-identical
     pairs + is_match on an over-cap fixture).
+
+    ``exact_strategy`` mirrors ``PairsConfig.exact_strategy`` (round-4
+    verdict #6): with ``"star"`` (and a block table carrying
+    ``exact_hash``), exact-text ``e:`` blocks are EXEMPT from the size cap
+    and emit min-rooted star pairs in-worker — each member pairs only with
+    the block's min doc_id (rows arrive doc_id-sorted per block, so the
+    star root is the block's first row, the same root the join path's
+    groupBy-min picks).  Star edges are equal-text pairs (text_sim = 1 ⇒
+    always a match), so entity clusters are identical to clique's on
+    under-cap groups while a g-member boilerplate group costs g−1 pairs,
+    never truncated — the 100-TB profile can now combine "no pair shuffle"
+    (grouped) with "uncapped exact groups" (star).  Caveat: an uncapped
+    mega-group still materializes its member rows in ONE worker's pandas
+    frame (inherent to the grouped strategy's whole-block contract) — at
+    10^7-copy scale prefer the join path's star, which never co-locates a
+    group.
 
     Execution shape: ``repartition(block_key) → sortWithinPartitions
     (block_key, doc_id) → mapInPandas`` — NOT ``groupBy.applyInPandas``.
@@ -282,6 +299,10 @@ def score_pairs_in_blocks(
     # store-persisted 2-column block tables keep the enumerate-everything
     # behavior so the two scorer strategies stay bit-identical on ANY input
     suppress_exact = "exact_hash" in blocks.columns
+    # star applies only when the block table carries the exact-text family
+    # (same activation rule as pairs.candidate_pairs: no exact_hash column →
+    # no e: blocks to re-shape, clique semantics are the only option)
+    star_mode = exact_strategy == "star" and suppress_exact
 
     def _empty() -> pd.DataFrame:
         return pd.DataFrame(
@@ -370,8 +391,15 @@ def score_pairs_in_blocks(
             m = e - s
             if m < 2:
                 continue
-            ia, ib = np.triu_indices(m, k=1)
-            ia, ib = ia + s, ib + s
+            if star_mode and keys[s].startswith("e:"):
+                # min-rooted star: rows are doc_id-sorted within the block,
+                # so index s IS the min doc_id (the join path's groupBy-min
+                # root); m−1 edges instead of m(m−1)/2
+                ia = np.full(m - 1, s, dtype=np.int64)
+                ib = np.arange(s + 1, e, dtype=np.int64)
+            else:
+                ia, ib = np.triu_indices(m, k=1)
+                ia, ib = ia + s, ib + s
             if suppress_exact and not keys[s].startswith("e:"):
                 # same rule as pairs._exact_suppression_filter: equal-text
                 # pairs are emitted ONLY by their e: block (which holds both
@@ -426,7 +454,27 @@ def score_pairs_in_blocks(
     # rows (most LSH bands are singletons), and the xxhash64-rank cap keeps
     # over-cap membership identical to the join path.  The cap windows
     # share hashpartitioning(block_key) — one exchange.
-    sized = cap_blocks(blocks, max_block_size)
+    if star_mode:
+        # e: blocks bypass cap_blocks (star is uncapped by design); they
+        # still drop singletons — zero pairs, pure transfer waste — via a
+        # window count on the same hashpartitioning(block_key) layout
+        from pyspark.sql import Window as _W
+
+        e_side = (
+            blocks.where(F.col("block_key").startswith("e:"))
+            .select("block_key", "doc_id")
+            .withColumn(
+                "bsize", F.count("*").over(_W.partitionBy("block_key"))
+            )
+            .where(F.col("bsize") >= 2)
+            .drop("bsize")
+        )
+        rest = cap_blocks(
+            blocks.where(~F.col("block_key").startswith("e:")), max_block_size
+        ).select("block_key", "doc_id")
+        sized = rest.unionByName(e_side)
+    else:
+        sized = cap_blocks(blocks, max_block_size)
     joined = sized.join(features, "doc_id").select(
         "block_key", "doc_id", "norm_text", "phashes"
     )

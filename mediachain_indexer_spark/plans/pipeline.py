@@ -87,7 +87,8 @@ def run_pipeline(
             scored = runner.run(
                 "score",
                 lambda: score_pairs_in_blocks(
-                    blocks, features, cfg.scoring, cfg.pairs.max_block_size
+                    blocks, features, cfg.scoring, cfg.pairs.max_block_size,
+                    exact_strategy=cfg.pairs.exact_strategy,
                 ),
                 key_col="doc_a",
             )
@@ -95,7 +96,8 @@ def run_pipeline(
             features = features.persist()
             blocks = build_blocks(features, cfg.blocking)
             scored = score_pairs_in_blocks(
-                blocks, features, cfg.scoring, cfg.pairs.max_block_size
+                blocks, features, cfg.scoring, cfg.pairs.max_block_size,
+                exact_strategy=cfg.pairs.exact_strategy,
             ).persist()
         pairs = scored.select("doc_a", "doc_b")
         matches = scored.where(F.col("is_match"))

@@ -146,3 +146,91 @@ def test_grouped_pipeline_end_to_end(spark, docs500, golden500):
     assert sorted(map(sorted, exp_groups.values())) == sorted(
         map(sorted, got_groups.values())
     )
+
+
+def test_grouped_star_matches_join_star(spark, docs500):
+    """round-4 verdict #6: grouped+star must emit the SAME pair ledger and
+    is_match bits as join+star, and the same entity clusters as clique."""
+    from mediachain_indexer_spark.operators.cluster import (
+        attach_components,
+        connected_components,
+    )
+    from mediachain_indexer_spark.operators.pairs import PairsConfig
+
+    feats = normalize_documents(docs500).select(
+        "doc_id", "norm_text", "phashes"
+    ).persist()
+    blocks = build_blocks(feats).persist()
+
+    join_rows = {
+        (r["doc_a"], r["doc_b"]): r["is_match"]
+        for r in score_pairs(
+            candidate_pairs(blocks, PairsConfig(exact_strategy="star")), feats
+        ).collect()
+    }
+    grouped_rows = {
+        (r["doc_a"], r["doc_b"]): r["is_match"]
+        for r in score_pairs_in_blocks(
+            blocks, feats, exact_strategy="star"
+        ).collect()
+    }
+    assert set(join_rows) == set(grouped_rows)
+    assert all(join_rows[k] == grouped_rows[k] for k in join_rows)
+
+    # cluster equality vs the clique ledger (star drops within-group pair
+    # ROWS, never connectivity)
+    def clusters_of(rows):
+        m = spark.createDataFrame(
+            [(a, b) for (a, b), ok in rows.items() if ok],
+            "doc_a string, doc_b string",
+        )
+        out = attach_components(feats, connected_components(m)).collect()
+        groups = {}
+        for r in out:
+            groups.setdefault(r["entity_id"], set()).add(r["doc_id"])
+        return {frozenset(g) for g in groups.values()}
+
+    clique_rows = {
+        (r["doc_a"], r["doc_b"]): r["is_match"]
+        for r in score_pairs_in_blocks(blocks, feats).collect()
+    }
+    assert clusters_of(grouped_rows) == clusters_of(clique_rows)
+    feats.unpersist()
+    blocks.unpersist()
+
+
+def test_grouped_star_uncaps_exact_groups(spark):
+    """An over-cap exact-text group under star keeps ALL members (g−1 star
+    edges, one cluster) in BOTH scorer strategies; clique would truncate to
+    max_block_size members."""
+    from mediachain_indexer_spark.operators.pairs import PairsConfig
+
+    n, cap = 20, 8
+    feats = spark.createDataFrame(
+        [(f"d{i:02d}", "identical boilerplate text", [7]) for i in range(n)],
+        "doc_id string, norm_text string, phashes array<long>",
+    ).persist()
+    blocks = build_blocks(feats).persist()
+
+    join_star = {
+        (r["doc_a"], r["doc_b"])
+        for r in score_pairs(
+            candidate_pairs(
+                blocks, PairsConfig(max_block_size=cap, exact_strategy="star")
+            ),
+            feats,
+        ).collect()
+        if r["is_match"]
+    }
+    grouped_star = {
+        (r["doc_a"], r["doc_b"])
+        for r in score_pairs_in_blocks(
+            blocks, feats, max_block_size=cap, exact_strategy="star"
+        ).collect()
+        if r["is_match"]
+    }
+    exp = {("d00", f"d{i:02d}") for i in range(1, n)}
+    assert join_star == exp
+    assert grouped_star == exp
+    feats.unpersist()
+    blocks.unpersist()
