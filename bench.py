@@ -34,7 +34,13 @@ def _corpus_path(n_docs: int) -> dict[str, str]:
     return write_corpus(os.path.join(REPO, ".cache", f"fx{n_docs}"), n_docs)
 
 
-def bench_er(spark, n_docs: int, warmup_docs: int = 3000, reps: int = 3) -> dict:
+def bench_er(
+    spark,
+    n_docs: int,
+    warmup_docs: int = 3000,
+    reps: int = 3,
+    block_storage: str = "memory",
+) -> dict:
     """Stage-by-stage timed run: each stage is persisted + counted before the
     next starts, so every wall number measures exactly one stage's work.
 
@@ -68,7 +74,9 @@ def bench_er(spark, n_docs: int, warmup_docs: int = 3000, reps: int = 3) -> dict
         wres.features.unpersist()
         wres.scored.unpersist()
 
-    runs = [_bench_er_once(spark, n_docs) for _ in range(max(1, reps))]
+    runs = [
+        _bench_er_once(spark, n_docs, block_storage) for _ in range(max(1, reps))
+    ]
     ordered = sorted(runs, key=lambda r: r["e2e_wall_sec"])
     med = dict(ordered[(len(ordered) - 1) // 2])
     med["reps"] = len(runs)
@@ -78,8 +86,27 @@ def bench_er(spark, n_docs: int, warmup_docs: int = 3000, reps: int = 3) -> dict
     return med
 
 
-def _bench_er_once(spark, n_docs: int) -> dict:
-    """One timed end-to-end rep (see bench_er)."""
+def _bench_er_once(spark, n_docs: int, block_storage: str = "memory") -> dict:
+    """One timed end-to-end rep (see bench_er).
+
+    ``block_storage`` controls how the BAND table (the block stage's
+    output, the widest intermediate: ~17 rows/doc) is held between the
+    timed stages — the single-box memory ladder for 10⁷+-doc probes
+    (round-4 verdict #3; the 8M probe OOM'd a 16 GB heap and needed 64 GB
+    under on-heap caching):
+
+    - ``memory``  — on-heap columnar cache (persist default); right at
+      bench scale (100k: ~1.7M rows), measures steady-state stage walls.
+    - ``disk``    — StorageLevel.DISK_ONLY: columnar batches live OUTSIDE
+      the JVM heap (on this sandbox spark.local.dir is tmpfs, so "disk" is
+      RAM without heap/GC pressure — the analog of NVMe on an executor).
+    - ``none``    — no persist: the block wall times one un-cached count
+      and the pairs stage recomputes the band table into its OWN staged
+      checkpoint (candidate_pairs materializes the capped table anyway —
+      this is exactly run_pipeline's production shape, which never
+      persists raw bands; costs one extra MinHash pass, holds zero band
+      rows anywhere).
+    """
     from pyspark.sql import functions as F
 
     from mediachain_indexer_spark.operators.blocking import build_blocks
@@ -99,9 +126,14 @@ def _bench_er_once(spark, n_docs: int) -> dict:
     walls: dict[str, float] = {}
     counts: dict[str, int] = {}
 
-    def timed(name: str, df):
+    def timed(name: str, df, storage: str = "memory"):
+        from pyspark import StorageLevel
+
         t = time.monotonic()
-        df = df.persist()
+        if storage == "memory":
+            df = df.persist()
+        elif storage == "disk":
+            df = df.persist(StorageLevel.DISK_ONLY)
         counts[name] = df.count()
         walls[name] = round(time.monotonic() - t, 3)
         return df
@@ -109,7 +141,7 @@ def _bench_er_once(spark, n_docs: int) -> dict:
     feats = timed(
         "normalize", normalize_documents(docs).select("doc_id", "norm_text", "phashes")
     )
-    blocks = timed("block", build_blocks(feats))
+    blocks = timed("block", build_blocks(feats), storage=block_storage)
     pairs = timed("pairs", candidate_pairs(blocks))
     scored = timed("score", score_pairs(pairs, feats))
     matches = scored.where(F.col("is_match"))
@@ -181,6 +213,13 @@ def main() -> None:
     ap.add_argument("--n-docs", type=int, default=BENCH_DOCS)
     ap.add_argument("--json-file", default=None)
     ap.add_argument(
+        "--block-storage",
+        default="memory",
+        choices=("memory", "disk", "none"),
+        help="how the band table is held between timed stages (the 10M+ "
+        "single-box memory ladder — see _bench_er_once docstring)",
+    )
+    ap.add_argument(
         "--er-reps",
         type=int,
         default=int(os.environ.get("SPARK_GRAFT_ER_REPS", "3")),
@@ -213,7 +252,10 @@ def main() -> None:
     queries: dict[str, float] = {}
     if not args.er_only:
         queries.update(bench_queries(spark, sf_dir))
-    er = bench_er(spark, args.n_docs, reps=args.er_reps)
+    er = bench_er(
+        spark, args.n_docs, reps=args.er_reps, block_storage=args.block_storage
+    )
+    er["block_storage"] = args.block_storage
     queries["er_pipeline_e2e"] = er["e2e_wall_sec"]
     queries["er_score_stage"] = er["score_wall_sec"]
     queries["er_cluster_stage"] = er["cluster_wall_sec"]
