@@ -40,6 +40,7 @@ def bench_er(
     warmup_docs: int = 3000,
     reps: int = 3,
     block_storage: str = "memory",
+    minhash_rows: int | None = None,
 ) -> dict:
     """Stage-by-stage timed run: each stage is persisted + counted before the
     next starts, so every wall number measures exactly one stage's work.
@@ -75,7 +76,8 @@ def bench_er(
         wres.scored.unpersist()
 
     runs = [
-        _bench_er_once(spark, n_docs, block_storage) for _ in range(max(1, reps))
+        _bench_er_once(spark, n_docs, block_storage, minhash_rows)
+        for _ in range(max(1, reps))
     ]
     ordered = sorted(runs, key=lambda r: r["e2e_wall_sec"])
     med = dict(ordered[(len(ordered) - 1) // 2])
@@ -86,7 +88,9 @@ def bench_er(
     return med
 
 
-def _bench_er_once(spark, n_docs: int, block_storage: str = "memory") -> dict:
+def _bench_er_once(
+    spark, n_docs: int, block_storage: str = "memory", minhash_rows: int | None = None
+) -> dict:
     """One timed end-to-end rep (see bench_er).
 
     ``block_storage`` controls how the BAND table (the block stage's
@@ -141,7 +145,14 @@ def _bench_er_once(spark, n_docs: int, block_storage: str = "memory") -> dict:
     feats = timed(
         "normalize", normalize_documents(docs).select("doc_id", "norm_text", "phashes")
     )
-    blocks = timed("block", build_blocks(feats), storage=block_storage)
+    # banding override for 10^7+ probes: the documented ladder moves to
+    # (12,7) at junk-dense scale (BENCH/BASELINE.md S-curve study)
+    from mediachain_indexer_spark.operators.blocking import BlockingConfig
+
+    bcfg = (
+        BlockingConfig(minhash_rows=minhash_rows) if minhash_rows else BlockingConfig()
+    )
+    blocks = timed("block", build_blocks(feats, bcfg), storage=block_storage)
     pairs = timed("pairs", candidate_pairs(blocks))
     scored = timed("score", score_pairs(pairs, feats))
     matches = scored.where(F.col("is_match"))
@@ -220,6 +231,13 @@ def main() -> None:
         "single-box memory ladder — see _bench_er_once docstring)",
     )
     ap.add_argument(
+        "--minhash-rows",
+        type=int,
+        default=None,
+        help="override the LSH banding's rows-per-band (e.g. 7 for the "
+        "documented 10^7+ junk-density setting); default = BlockingConfig",
+    )
+    ap.add_argument(
         "--er-reps",
         type=int,
         default=int(os.environ.get("SPARK_GRAFT_ER_REPS", "3")),
@@ -253,7 +271,11 @@ def main() -> None:
     if not args.er_only:
         queries.update(bench_queries(spark, sf_dir))
     er = bench_er(
-        spark, args.n_docs, reps=args.er_reps, block_storage=args.block_storage
+        spark,
+        args.n_docs,
+        reps=args.er_reps,
+        block_storage=args.block_storage,
+        minhash_rows=args.minhash_rows,
     )
     er["block_storage"] = args.block_storage
     queries["er_pipeline_e2e"] = er["e2e_wall_sec"]
