@@ -357,23 +357,151 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return q
 
 
+def _er_candidate_pairs_oracle() -> str:
+    """DuckDB twin of the WHOLE blocking + pair-generation stage over the
+    fixture spans parquet (round-5 graduation; builds on the
+    `dedup_minhash_pairs_docs` kernel-replication machinery in catalog.py).
+
+    Re-derived end-to-end: normalize (span ordering + cleanup), the
+    vectorized MinHash kernel (3-gram mod-2^64 rolling hash with the
+    hi32/lo32-split splitmix64 finalizer, 72 seed-42 permutation minima
+    inlined as literals), (12,6) banding, the 3×21-bit pHash band family
+    (hex media_ref → UBIGINT, unsigned shifts), and the exact-text family.
+    DuckDB joins on the band's slot tuple / the normalized text itself
+    where Spark joins on xxhash64 of them — equality-equivalent modulo
+    2^-64 collisions.  The salted-join and exact-suppression machinery do
+    not change the DISTINCT pair set (proven in tests/test_blocking_pairs
+    .py), so the oracle is a plain distinct co-blocked self-join.
+
+    Domain guard: `cap_blocks` truncation (blocks > 256 members) is NOT
+    replicated — the fixture's max block is 56 — so the oracle error()s
+    loudly if a future fixture ever produces an over-cap block instead of
+    silently hash-mismatching.
+    """
+    from mediachain_indexer_spark.functions.minhash import _coefficients
+
+    ac, bc = _coefficients(72, 42)
+    acs = ", ".join(str(x) for x in ac)
+    bcs = ", ".join(str(x) for x in bc)
+    spans = os.path.join(
+        _REPO, ".cache", f"fx{_ER_N_DOCS}", "spans_documents.parquet"
+    )
+    m64 = "18446744073709551616"
+    return f"""
+WITH flat AS (
+  SELECT doc_id, u.kind AS kind, u.text AS text,
+         u.media_ref AS media_ref, u."offset" AS off
+  FROM (SELECT doc_id, UNNEST(spans) AS u
+        FROM read_parquet('{spans}/*.parquet'))
+),
+txt AS (
+  SELECT doc_id,
+         TRIM(REGEXP_REPLACE(LOWER(string_agg(text, ' ' ORDER BY off)),
+                             '[^a-z0-9]+', ' ', 'g')) AS nt
+  FROM flat WHERE kind = 'text' AND text IS NOT NULL GROUP BY doc_id
+),
+phu AS (
+  SELECT doc_id, CAST(CONCAT('0x', SUBSTR(media_ref, 3, 16)) AS UBIGINT) AS h
+  FROM flat WHERE kind = 'media' AND media_ref IS NOT NULL
+),
+coef AS (SELECT [{acs}]::UBIGINT[] AS ac, [{bcs}]::UBIGINT[] AS bc),
+c AS (
+  SELECT doc_id, length(nt) AS ln,
+    list_transform(range(1, greatest(length(nt), 3) + 1),
+      i -> CASE WHEN i <= length(nt) THEN unicode(substr(nt, i, 1))::UBIGINT
+                ELSE 0::UBIGINT END) AS codes
+  FROM txt WHERE length(nt) > 0
+),
+g AS (
+  SELECT doc_id,
+    list_transform(
+      list_transform(
+        list_transform(
+          list_transform(
+            list_transform(
+              list_transform(range(0, greatest(ln - 3, 0) + 1), s ->
+                ((((codes[s+1]::HUGEINT * 1099511628211 + codes[s+2])
+                  % {m64}) * 1099511628211 + codes[s+3])
+                  % {m64})::UBIGINT),
+              x -> xor(x, x >> 33)),
+            x -> ((x::HUGEINT * 3981806797 % {m64}
+                   + (x::HUGEINT * 4283543511 % 4294967296) * 4294967296)
+                  % {m64})::UBIGINT),
+          x -> xor(x, x >> 33)),
+        x -> ((x::HUGEINT * 444984403 % {m64}
+               + (x::HUGEINT * 3301882366 % 4294967296) * 4294967296)
+              % {m64})::UBIGINT),
+      x -> xor(x, x >> 33) % 2147483647) AS hm
+  FROM c
+),
+s AS (
+  SELECT doc_id,
+    list_transform(range(1, 73), j ->
+      list_aggregate(
+        list_transform(hm, h -> (ac[j] * h + bc[j]) % 2147483647),
+        'min')) AS sig
+  FROM g CROSS JOIN coef
+),
+tkeys AS (
+  SELECT doc_id,
+    unnest(list_transform(range(0, 12), b ->
+      't' || b::VARCHAR || ':' ||
+      array_to_string(list_slice(sig, 6 * b + 1, 6 * b + 6), '_'))) AS bkey
+  FROM s
+),
+pkeys AS (
+  SELECT doc_id, 'p0:' || ((h >> 43) & 2097151)::VARCHAR AS bkey FROM phu
+  UNION ALL
+  SELECT doc_id, 'p1:' || ((h >> 22) & 2097151)::VARCHAR AS bkey FROM phu
+  UNION ALL
+  SELECT doc_id, 'p2:' || (h & 4194303)::VARCHAR AS bkey FROM phu
+),
+ekeys AS (SELECT doc_id, 'e:' || nt AS bkey FROM txt WHERE length(nt) > 0),
+allk AS (
+  SELECT DISTINCT doc_id, bkey FROM (
+    SELECT * FROM tkeys UNION ALL SELECT * FROM pkeys
+    UNION ALL SELECT * FROM ekeys
+  )
+),
+cap_guard AS (
+  SELECT CASE WHEN max(cnt) > 256
+              THEN error('er_candidate_pairs oracle domain: over-cap block')
+              ELSE 1 END AS ok
+  FROM (SELECT count(*) AS cnt FROM allk GROUP BY bkey)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM allk a JOIN allk b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+CROSS JOIN cap_guard
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     """ANSI-SQL oracles for every SQL-expressible ``queries()`` entry.
 
-    ``er_normalize_features`` now carries a DuckDB oracle over the fixture
-    spans parquet itself (round-4 verdict #1) — the one flagship slice whose
-    kernel is pure SQL.  The remaining er_* stages are intentionally omitted
-    (MinHash/xxhash64-over-long-strings, iterative CC, and mutating stores
-    are not DuckDB-expressible end-to-end) → driver records rows-only checks
-    backed by the pytest oracles (networkx CC, brute-force blocking recall,
-    incremental ≡ batch)."""
+    ``er_normalize_features`` (round-4 verdict #1) and ``er_candidate_pairs``
+    (round-5 stretch) carry DuckDB oracles over the fixture spans parquet
+    itself: normalize is pure SQL, and the blocking + pair stage re-derives
+    the full MinHash kernel / banding / pHash bands / exact family with
+    equality-join semantics (hash values never appear in the pairs output,
+    so the xxhash64-of-long-strings blocker doesn't apply).  The remaining
+    er_* stages stay rows-only for cause: scored values embed the reference
+    Jaro-Winkler kernel, and DuckDB's ``jaro_winkler_similarity`` is a
+    DIFFERENT function (boost-threshold + empty-string semantics; measured
+    313/3000 random pairs differing by up to 0.09) so neither value nor
+    decision parity holds; xxhash64-over-long-strings appears in er_blocks'
+    OUTPUT columns; iterative CC and the mutating stores are not
+    single-query-expressible.  Those surfaces are pytest-oracled instead
+    (networkx CC, brute-force blocking recall, incremental ≡ batch)."""
     from mediachain_indexer_spark import catalog
     from mediachain_indexer_spark.sources.fixtures import write_corpus
 
     # idempotent (done-marker): guarantees the spans parquet the oracle
     # reads exists even if the driver evaluates SQL before the Spark side
     write_corpus(os.path.join(_REPO, ".cache", f"fx{_ER_N_DOCS}"), _ER_N_DOCS)
-    out = {"er_normalize_features": _er_normalize_features_oracle()}
+    out = {
+        "er_normalize_features": _er_normalize_features_oracle(),
+        "er_candidate_pairs": _er_candidate_pairs_oracle(),
+    }
     out.update(
         {k: v for k, v in catalog.oracle_sql().items() if k not in _WITHHELD}
     )
