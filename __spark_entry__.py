@@ -8,11 +8,14 @@ generation → vectorized scoring → large-star/small-star connected
 components) emits the entity table.
 
 ``queries()`` / ``oracle_sql()`` — operator catalog from SURVEY.md §2.2
-(mediachain_indexer_spark/catalog.py) checked against DuckDB; plus rows-only
-entries for the non-SQL-expressible ER stages (MinHash/LSH blocking,
-candidate pairs, connected components, the per-block in-worker scoring
-fallback, incremental ingest) whose oracles are pytest-side (networkx,
-brute force, batch-equivalence — tests/).
+(mediachain_indexer_spark/catalog.py) checked against DuckDB.  Three ER
+pipeline surfaces carry full DuckDB oracles over the fixture spans parquet
+itself (normalize, the block table incl. bit-exact xxhash64 band keys via
+catalog._xxh64_any_cte_chain, and the candidate-pair set); the remaining
+er_* stages are rows-only for cause (the reference Jaro-Winkler kernel is
+measurably a different function than DuckDB's jaro_winkler_similarity;
+iterative CC and mutating stores are not single-query-expressible) with
+pytest-side oracles instead (networkx, brute force, batch-equivalence).
 """
 
 from __future__ import annotations
@@ -357,27 +360,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return q
 
 
-def _er_candidate_pairs_oracle() -> str:
-    """DuckDB twin of the WHOLE blocking + pair-generation stage over the
-    fixture spans parquet (round-5 graduation; builds on the
-    `dedup_minhash_pairs_docs` kernel-replication machinery in catalog.py).
-
-    Re-derived end-to-end: normalize (span ordering + cleanup), the
-    vectorized MinHash kernel (3-gram mod-2^64 rolling hash with the
-    hi32/lo32-split splitmix64 finalizer, 72 seed-42 permutation minima
-    inlined as literals), (12,6) banding, the 3×21-bit pHash band family
-    (hex media_ref → UBIGINT, unsigned shifts), and the exact-text family.
-    DuckDB joins on the band's slot tuple / the normalized text itself
-    where Spark joins on xxhash64 of them — equality-equivalent modulo
-    2^-64 collisions.  The salted-join and exact-suppression machinery do
-    not change the DISTINCT pair set (proven in tests/test_blocking_pairs
-    .py), so the oracle is a plain distinct co-blocked self-join.
-
-    Domain guard: `cap_blocks` truncation (blocks > 256 members) is NOT
-    replicated — the fixture's max block is 56 — so the oracle error()s
-    loudly if a future fixture ever produces an over-cap block instead of
-    silently hash-mismatching.
-    """
+def _er_spans_kernel_ctes() -> str:
+    """Shared CTE prefix for the spans-corpus oracles: normalize (flat/txt),
+    hex pHash parse (phu), and the full vectorized-MinHash kernel re-derived
+    in SQL (3-gram mod-2^64 rolling hash, split-multiply splitmix64
+    finalizer, 72 seed-42 permutation minima inlined as literals) — the same
+    machinery proven in catalog.py's dedup_minhash_pairs_docs oracle,
+    re-targeted at the fixture's spans shape and (12,6) blocking config."""
     from mediachain_indexer_spark.functions.minhash import _coefficients
 
     ac, bc = _coefficients(72, 42)
@@ -387,8 +376,7 @@ def _er_candidate_pairs_oracle() -> str:
         _REPO, ".cache", f"fx{_ER_N_DOCS}", "spans_documents.parquet"
     )
     m64 = "18446744073709551616"
-    return f"""
-WITH flat AS (
+    return f"""flat AS (
   SELECT doc_id, u.kind AS kind, u.text AS text,
          u.media_ref AS media_ref, u."offset" AS off
   FROM (SELECT doc_id, UNNEST(spans) AS u
@@ -434,20 +422,42 @@ g AS (
       x -> xor(x, x >> 33) % 2147483647) AS hm
   FROM c
 ),
-s AS (
+sg AS (
   SELECT doc_id,
     list_transform(range(1, 73), j ->
       list_aggregate(
         list_transform(hm, h -> (ac[j] * h + bc[j]) % 2147483647),
         'min')) AS sig
   FROM g CROSS JOIN coef
-),
+)"""
+
+
+def _er_candidate_pairs_oracle() -> str:
+    """DuckDB twin of the WHOLE blocking + pair-generation stage over the
+    fixture spans parquet (round-5 graduation).
+
+    On top of the shared kernel prefix: (12,6) banding joined on the band's
+    slot tuple, the 3×21-bit pHash band family (unsigned shifts on the hex
+    media_ref), and the exact-text family joined on the normalized text
+    itself — equality-equivalent to Spark's xxhash64 keys modulo 2^-64
+    collisions, and hash values never appear in the pairs OUTPUT.  The
+    salted-join and exact-suppression machinery do not change the DISTINCT
+    pair set (tests/test_blocking_pairs.py), so the oracle is a plain
+    distinct co-blocked self-join.
+
+    Domain guard: ``cap_blocks`` truncation (blocks > 256 members) is NOT
+    replicated — the fixture's max block is 56 — so the oracle error()s
+    loudly if a future fixture ever produces an over-cap block instead of
+    silently hash-mismatching.
+    """
+    return f"""
+WITH {_er_spans_kernel_ctes()},
 tkeys AS (
   SELECT doc_id,
     unnest(list_transform(range(0, 12), b ->
       't' || b::VARCHAR || ':' ||
       array_to_string(list_slice(sig, 6 * b + 1, 6 * b + 6), '_'))) AS bkey
-  FROM s
+  FROM sg
 ),
 pkeys AS (
   SELECT doc_id, 'p0:' || ((h >> 43) & 2097151)::VARCHAR AS bkey FROM phu
@@ -475,21 +485,81 @@ CROSS JOIN cap_guard
 """
 
 
+def _er_blocks_oracle() -> str:
+    """DuckDB twin of the FULL block table — block_key, doc_id, exact_hash —
+    with Spark's xxhash64 values reproduced bit-for-bit (round-5 stretch).
+
+    Unlike the pairs oracle, the blocks OUTPUT embeds hash values: band
+    keys are 't<b>:<xxhash64 of the 6-slot slice string>' and exact_hash /
+    the e: key are xxhash64 of the full norm_text — arbitrary-length
+    inputs, far past the 8-byte small path.  catalog._xxh64_any_cte_chain
+    implements the complete public XXH64 algorithm in SQL (stripe loop via
+    list_reduce over UBIGINT[4] lanes, lane merge, 8/4/1-byte tail rounds,
+    33/29/32 avalanche; validated value-exact vs Spark on lengths 0..300),
+    so both hash uses run through one chain over a union of (doc, band
+    slice) and (doc, norm_text) rows.  pHash band keys are pure bit math.
+    Spark's per-doc array_distinct ≡ the DISTINCT (doc_id, block_key) here.
+    """
+    from mediachain_indexer_spark.catalog import _xxh64_any_cte_chain
+
+    m64 = "18446744073709551616"
+    return f"""
+WITH {_er_spans_kernel_ctes()},
+hsrc AS (
+  SELECT doc_id, 't' || r.range::VARCHAR AS fam,
+         array_to_string(list_slice(sig, 6 * r.range + 1, 6 * r.range + 6),
+                         '_') AS tok
+  FROM sg CROSS JOIN range(0, 12) r
+  UNION ALL
+  SELECT doc_id, 'e' AS fam, nt AS tok FROM txt WHERE length(nt) > 0
+),
+{_xxh64_any_cte_chain("hsrc")},
+sh AS (
+  SELECT doc_id, fam,
+    CAST(CAST(xh AS HUGEINT)
+         - CASE WHEN xh >= CAST('0x8000000000000000' AS UBIGINT)
+                THEN CAST('{m64}' AS HUGEINT) ELSE 0 END AS BIGINT) AS hv
+  FROM hsrc_f
+),
+tek AS (
+  SELECT doc_id,
+         CASE WHEN fam = 'e' THEN 'e:' ELSE fam || ':' END
+           || hv::VARCHAR AS block_key
+  FROM sh
+),
+pk AS (
+  SELECT doc_id, 'p0:' || ((h >> 43) & 2097151)::VARCHAR AS block_key FROM phu
+  UNION ALL
+  SELECT doc_id, 'p1:' || ((h >> 22) & 2097151)::VARCHAR AS block_key FROM phu
+  UNION ALL
+  SELECT doc_id, 'p2:' || (h & 4194303)::VARCHAR AS block_key FROM phu
+),
+eh AS (SELECT doc_id, hv AS exact_hash FROM sh WHERE fam = 'e'),
+allk AS (
+  SELECT DISTINCT doc_id, block_key FROM (
+    SELECT * FROM tek UNION ALL SELECT * FROM pk
+  )
+)
+SELECT a.block_key AS block_key, a.doc_id AS doc_id, eh.exact_hash AS exact_hash
+FROM allk a LEFT JOIN eh USING (doc_id)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     """ANSI-SQL oracles for every SQL-expressible ``queries()`` entry.
 
     ``er_normalize_features`` (round-4 verdict #1) and ``er_candidate_pairs``
     (round-5 stretch) carry DuckDB oracles over the fixture spans parquet
-    itself: normalize is pure SQL, and the blocking + pair stage re-derives
-    the full MinHash kernel / banding / pHash bands / exact family with
-    equality-join semantics (hash values never appear in the pairs output,
-    so the xxhash64-of-long-strings blocker doesn't apply).  The remaining
-    er_* stages stay rows-only for cause: scored values embed the reference
-    Jaro-Winkler kernel, and DuckDB's ``jaro_winkler_similarity`` is a
-    DIFFERENT function (boost-threshold + empty-string semantics; measured
-    313/3000 random pairs differing by up to 0.09) so neither value nor
-    decision parity holds; xxhash64-over-long-strings appears in er_blocks'
-    OUTPUT columns; iterative CC and the mutating stores are not
+    itself: normalize is pure SQL; the pair stage re-derives the full
+    MinHash kernel / banding / pHash bands / exact family with equality-join
+    semantics; and er_blocks additionally reproduces Spark's xxhash64
+    VALUES bit-for-bit at arbitrary input length (band keys, exact_hash)
+    through catalog._xxh64_any_cte_chain.  The remaining er_* stages stay
+    rows-only for cause: scored values embed the reference Jaro-Winkler
+    kernel, and DuckDB's ``jaro_winkler_similarity`` is a DIFFERENT
+    function (boost-threshold + empty-string semantics; measured 313/3000
+    random pairs differing by up to 0.09) so neither value nor decision
+    parity holds; iterative CC and the mutating stores are not
     single-query-expressible.  Those surfaces are pytest-oracled instead
     (networkx CC, brute-force blocking recall, incremental ≡ batch)."""
     from mediachain_indexer_spark import catalog
@@ -501,6 +571,7 @@ def oracle_sql() -> dict[str, str]:
     out = {
         "er_normalize_features": _er_normalize_features_oracle(),
         "er_candidate_pairs": _er_candidate_pairs_oracle(),
+        "er_blocks": _er_blocks_oracle(),
     }
     out.update(
         {k: v for k, v in catalog.oracle_sql().items() if k not in _WITHHELD}

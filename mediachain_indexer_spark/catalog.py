@@ -1306,6 +1306,156 @@ def _xxh64_ascii_cte_chain(src: str, out: str) -> str:
     return ",\n".join(steps)
 
 
+# ---------------------------------------------------------------------------
+# Full-length XXH64 (Spark seed 42) as a DuckDB CTE chain — the ARBITRARY-
+# length companion of ``_xxh64_ascii_cte_chain`` above.  Implements the
+# complete public XXH64 algorithm: the >=32-byte stripe loop runs via
+# ``list_reduce`` with the four lanes packed as a UBIGINT[4] accumulator
+# (DuckDB 1.0 list_reduce seeds from the first element, so the initial
+# lanes are list_prepend-ed), then lane merge, tail 8/4/1-byte rounds and
+# the 33/29/32 avalanche, each as its own CTE column (linear SQL size).
+# 64x64 products split the CONSTANT multiplier hi32/lo32 so partials fit
+# HUGEINT; every multiply in XXH64 is variable-x-constant, so this covers
+# all of them.  Validated value-exact against Spark's xxhash64 on ASCII
+# inputs of length 0..300 (.cache/proto_xxh_any.py) — used by the
+# er_blocks oracle in __spark_entry__.py, where band keys embed xxhash64
+# of ~60-char slice strings and exact_hash is xxhash64 of full norm_text.
+# ---------------------------------------------------------------------------
+
+_M64X = "18446744073709551616"
+_XP1, _XP2, _XP3, _XP4, _XP5 = 0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9, 0x85EBCA77C2B2AE63, 0x27D4EB2F165667C5
+_XMASK = (1 << 64) - 1
+_XV1I = (42 + _XP1 + _XP2) & _XMASK
+_XV2I = (42 + _XP2) & _XMASK
+_XV3I = 42
+_XV4I = (42 - _XP1) & _XMASK
+
+
+def _mulc(x: str, p: int) -> str:
+    hi, lo = p >> 32, p & 0xFFFFFFFF
+    return (
+        f"(({x})::HUGEINT * {lo} % {_M64X} + "
+        f"((({x}) % 4294967296)::HUGEINT * {hi} % 4294967296) * 4294967296) % {_M64X}"
+    )
+
+def _rotlc(x: str, r: int) -> str:
+    return f"((({x})::HUGEINT * {1 << r} % {_M64X}) + (({x})::UBIGINT >> {64 - r}))"
+
+def _xorc(a: str, b: str) -> str:
+    return f"xor(({a})::UBIGINT, ({b})::UBIGINT)"
+
+def _rndc(acc: str, w: str) -> str:
+    s = f"((({acc})::HUGEINT + {_mulc(w, _XP2)}) % {_M64X})"
+    return _mulc(_rotlc(s, 31), _XP1)
+
+def _le64c(base: str) -> str:
+    # codes[base+1 .. base+8] little-endian; codes is zero-padded UBIGINT[]
+    return "(" + " + ".join(
+        f"codes[{base} + {j + 1}] * {1 << (8 * j)}::UBIGINT" for j in range(8)
+    ) + ")"
+
+def _le32c(base: str) -> str:
+    return "(" + " + ".join(
+        f"codes[{base} + {j + 1}] * {1 << (8 * j)}::UBIGINT" for j in range(4)
+    ) + ")"
+
+
+def _xxh64_any_cte_chain(src: str) -> str:
+    """CTE chain from {src}(doc_id, tok) -> {src}_f(doc_id, tok, xh UBIGINT)."""
+    w_in_lambda = lambda lane: f"w[{lane + 1}]"
+    lane_update = ", ".join(_rndc(f"acc[{l + 1}]", w_in_lambda(l)) for l in range(4))
+    merge_sum = " + ".join(
+        f"({_rotlc(f'lanes[{i + 1}]', r)})::HUGEINT"
+        for i, r in ((0, 1), (1, 7), (2, 12), (3, 18))
+    )
+    steps = [
+        # q0: byte codes (zero-padded to a full stripe + tail headroom), len
+        f"""{src}_q0 AS (
+  SELECT *, length(tok) AS ln,
+    list_transform(range(1, ((length(tok) // 32) + 2) * 32 + 1),
+      i -> CASE WHEN i <= length(tok) THEN unicode(substr(tok, i, 1))::UBIGINT
+                ELSE 0::UBIGINT END) AS codes,
+    length(tok) // 32 AS nstripes, length(tok) % 32 AS rem
+  FROM {src})""",
+        # q1: stripe word lists
+        f"""{src}_q1 AS (
+  SELECT *, list_transform(range(0, nstripes), s ->
+      [{", ".join(_le64c(f"(32 * s + {8 * l})") for l in range(4))}]) AS stripes
+  FROM {src}_q0)""",
+        # q2: lanes after all stripes (list_reduce; initial lanes prepended)
+        f"""{src}_q2 AS (
+  SELECT *, CASE WHEN ln >= 32 THEN
+      list_reduce(
+        list_prepend([{_XV1I}::UBIGINT, {_XV2I}::UBIGINT, {_XV3I}::UBIGINT, {_XV4I}::UBIGINT], stripes),
+        (acc, w) -> [{lane_update}])
+    ELSE NULL END AS lanes
+  FROM {src}_q1)""",
+        # q3: merged h (lanes) or small-seed init; + length
+        f"""{src}_q3 AS (
+  SELECT *, CASE WHEN ln >= 32 THEN (({merge_sum}) % {_M64X})::UBIGINT
+                 ELSE ((42::HUGEINT + {_XP5}) % {_M64X})::UBIGINT END AS h0
+  FROM {src}_q2)""",
+    ]
+    # q4..q7: the four merge rounds (only when ln >= 32)
+    h = "h0"
+    for i in range(4):
+        r0 = _rndc("0::UBIGINT", f"lanes[{i + 1}]")
+        step = f"(({_mulc(_xorc(h, f'({r0})'), _XP1)} + {_XP4}) % {_M64X})::UBIGINT"
+        steps.append(
+            f"""{src}_q{4 + i} AS (
+  SELECT *, CASE WHEN ln >= 32 THEN {step} ELSE {h} END AS h{i + 1}
+  FROM {src}_q{3 + i})"""
+        )
+        h = f"h{i + 1}"
+    # q8: + len
+    steps.append(
+        f"""{src}_q8 AS (
+  SELECT *, ((({h})::HUGEINT + ln) % {_M64X})::UBIGINT AS g0, nstripes * 32 AS p0
+  FROM {src}_q7)"""
+    )
+    # q9..q11: up to 3 tail 8-byte rounds
+    g = "g0"
+    for i in range(3):
+        w = _le64c(f"(p0 + {8 * i})")
+        k1 = _rndc("0::UBIGINT", w)
+        step = f"(({_mulc(_rotlc(_xorc(g, f'({k1})'), 27), _XP1)} + {_XP4}) % {_M64X})::UBIGINT"
+        steps.append(
+            f"""{src}_q{9 + i} AS (
+  SELECT *, CASE WHEN rem >= {8 * (i + 1)} THEN {step} ELSE {g} END AS g{i + 1}
+  FROM {src}_q{8 + i})"""
+        )
+        g = f"g{i + 1}"
+    # q12: optional 4-byte round at offset p0 + 8*(rem//8)
+    w4 = _le32c("(p0 + (rem // 8) * 8)")
+    step4 = f"(({_mulc(_rotlc(_xorc(g, _mulc(w4, _XP1)), 23), _XP2)} + {_XP3}) % {_M64X})::UBIGINT"
+    steps.append(
+        f"""{src}_q12 AS (
+  SELECT *, CASE WHEN rem % 8 >= 4 THEN {step4} ELSE {g} END AS g4,
+         (rem // 8) * 8 + CASE WHEN rem % 8 >= 4 THEN 4 ELSE 0 END AS tb0
+  FROM {src}_q11)"""
+    )
+    # q13..q15: up to 3 single-byte rounds at p0+tb0+i
+    g = "g4"
+    for i in range(3):
+        b = f"codes[p0 + tb0 + {i} + 1]"
+        step = f"({_mulc(_rotlc(_xorc(g, _mulc(b, _XP5)), 11), _XP1)})::UBIGINT"
+        steps.append(
+            f"""{src}_q{13 + i} AS (
+  SELECT *, CASE WHEN rem - tb0 >= {i + 1} THEN {step} ELSE {g} END AS g{5 + i}
+  FROM {src}_q{12 + i})"""
+        )
+        g = f"g{5 + i}"
+    # q16: avalanche 33/_XP2, 29/_XP3, 32
+    a1 = _xorc(g, f"({g})::UBIGINT >> 33")
+    steps.append(f"""{src}_q16 AS (SELECT *, ({_mulc(a1, _XP2)})::UBIGINT AS a1 FROM {src}_q15)""")
+    a2 = _xorc("a1", "a1 >> 29")
+    steps.append(f"""{src}_q17 AS (SELECT *, ({_mulc(a2, _XP3)})::UBIGINT AS a2 FROM {src}_q16)""")
+    steps.append(
+        f"""{src}_f AS (SELECT *, xor(a2, a2 >> 32) AS xh FROM {src}_q17)"""
+    )
+    return ",\n".join(steps)
+
+
 def _simhash_oracle() -> str:
     """Per-bit majority over the SQL-replicated xxhash64 token hashes,
     folded to the same SIGNED int64 Spark emits (bit 63 = sign)."""

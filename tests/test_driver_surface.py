@@ -51,10 +51,11 @@ def test_entry_registration_window():
         assert flagship in keys[:50]
     oracles = mod.oracle_sql()
     assert set(oracles) <= set(keys)
-    # round-5: er_normalize_features + er_candidate_pairs graduated to
-    # DuckDB hash-matches
+    # round-5: er_normalize_features, er_candidate_pairs AND er_blocks
+    # graduated to DuckDB hash-matches
     assert "er_normalize_features" in oracles
     assert "er_candidate_pairs" in oracles
+    assert "er_blocks" in oracles
     # round-5 rotation (round-4 verdict #8): the four entries withheld in
     # r04 must register this round so r04∪r05 covers every catalog entry
     for rotated_in in (
