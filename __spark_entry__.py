@@ -67,7 +67,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# rows-only ER-pipeline entries over the seeded spans corpus (FIXTURES.md §B)
+# ER-pipeline entries over the seeded spans corpus (FIXTURES.md §B);
+# three carry full DuckDB oracles since round 5, the rest are rows-only
 #
 # The full PipelineResult is memoized PER SESSION and every er_* entry is a
 # slice of it: a driver correctness sweep over all 8 entries used to re-run
