@@ -129,3 +129,29 @@ def test_job_via_real_spark_submit(corpus500_paths, tmp_path):
     assert m["n_docs"] == 500
     assert m["eval"]["f1"] >= 0.99
     assert m["sink_stats"]["n_upserted"] == 500
+
+
+def test_job_grouped_star_combination(spark, corpus500_paths, tmp_path):
+    """--scoring-strategy grouped --exact-strategy star (rejected until
+    round 5) runs end-to-end with checkpointing and produces the same
+    entity partition as join+clique on the 500-doc corpus (star drops
+    within-group pair rows, never connectivity; no fx500 exact group is
+    over-cap, so clique and star agree exactly)."""
+    from mediachain_indexer_spark.jobs.dedupe_job import run
+
+    base = run(
+        spark,
+        _args(input=corpus500_paths["spans_documents"]),
+    )
+    m = run(
+        spark,
+        _args(
+            input=corpus500_paths["spans_documents"],
+            run_dir=str(tmp_path / "runs"),
+            run_id="grouped-star",
+            scoring_strategy="grouped",
+            exact_strategy="star",
+        ),
+    )
+    assert m["n_docs"] == 500
+    assert m["n_entities"] == base["n_entities"]
