@@ -262,7 +262,11 @@ def score_pairs_in_blocks(
     mega-group still materializes its member rows in ONE worker's pandas
     frame (inherent to the grouped strategy's whole-block contract) — at
     10^7-copy scale prefer the join path's star, which never co-locates a
-    group.
+    group.  Measured (BENCH/BASELINE.md round-5 star A/B follow-up,
+    ``.cache/ab_star_grouped.py``): on a 100k-copy boilerplate group,
+    grouped+star is pair-identical to join+star but 243 s vs 35 s e2e —
+    one worker scores the mega-block while the rest idle.  Rule of thumb:
+    grouped+star only when the max exact-group size ≪ corpus_size/cores.
 
     Execution shape: ``repartition(block_key) → sortWithinPartitions
     (block_key, doc_id) → mapInPandas`` — NOT ``groupBy.applyInPandas``.
