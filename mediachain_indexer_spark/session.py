@@ -75,9 +75,19 @@ def get_spark(
     # shuffle spill dir: prefer RAM-backed tmpfs over the shared root disk —
     # the sandbox analog of the fast local NVMe a real executor would have.
     # Concurrent shuffle writers on a slow disk anti-scale with core count.
-    shm = "/dev/shm"
-    if os.path.isdir(shm) and os.access(shm, os.W_OK):
-        builder = builder.config("spark.local.dir", os.path.join(shm, "spark-local"))
+    # SPARK_GRAFT_LOCAL_DIR overrides (comma-separated list round-robins
+    # block files across dirs) — needed when a single-box probe's shuffle
+    # footprint would compete with the JVM heap for the same physical RAM:
+    # at 16M docs the tmpfs shuffle peaked >59 GB alongside a 60 GB heap
+    # and the kernel OOM-killed the JVM; splitting tmpfs+disk halves the
+    # RAM-resident share.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
+    else:
+        shm = "/dev/shm"
+        if os.path.isdir(shm) and os.access(shm, os.W_OK):
+            builder = builder.config("spark.local.dir", os.path.join(shm, "spark-local"))
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
