@@ -8,14 +8,16 @@ generation → vectorized scoring → large-star/small-star connected
 components) emits the entity table.
 
 ``queries()`` / ``oracle_sql()`` — operator catalog from SURVEY.md §2.2
-(mediachain_indexer_spark/catalog.py) checked against DuckDB.  Three ER
-pipeline surfaces carry full DuckDB oracles over the fixture spans parquet
-itself (normalize, the block table incl. bit-exact xxhash64 band keys via
-catalog._xxh64_any_cte_chain, and the candidate-pair set); the remaining
-er_* stages are rows-only for cause (the reference Jaro-Winkler kernel is
-measurably a different function than DuckDB's jaro_winkler_similarity;
-iterative CC and mutating stores are not single-query-expressible) with
-pytest-side oracles instead (networkx, brute force, batch-equivalence).
+(mediachain_indexer_spark/catalog.py) checked against DuckDB.  Since round
+5 ALL NINE er_* pipeline surfaces carry full DuckDB oracles over the
+fixture spans parquet itself: normalize, blocks (bit-exact xxhash64 band
+keys via catalog._xxh64_any_cte_chain), candidate pairs, both scorers
+(er_matches with its cascade replicated, er_matches_grouped exact — the
+reference Jaro-Winkler kernel is re-derived bit-exact as a recursive CTE
+in mediachain_indexer_spark/er_oracle.py), transitive clusters (min-label
+closure), the F1 metric row, and the incremental/deletion stores (their
+results are proven ≡ one-shot batch clustering, so the batch chain IS
+their oracle).  Only agg_approx_distinct_users stays rows-only (HLL).
 """
 
 from __future__ import annotations
@@ -68,7 +70,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # ER-pipeline entries over the seeded spans corpus (FIXTURES.md §B);
-# three carry full DuckDB oracles since round 5, the rest are rows-only
+# all nine carry full DuckDB oracles since round 5 (er_oracle.py)
 #
 # The full PipelineResult is memoized PER SESSION and every er_* entry is a
 # slice of it: a driver correctness sweep over all 8 entries used to re-run
@@ -147,8 +149,9 @@ def _er_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-ingest flagship (plans/ingest.py): the 500-doc corpus is
     folded into a fresh store in two hash-interleaved increments; the
     returned entity table is EXACTLY the one-shot batch clustering
-    (equivalence + idempotent-replay proofs: tests/test_ingest_increment.py).
-    Rows-only for the driver: the store mutates per run."""
+    (equivalence + idempotent-replay proofs: tests/test_ingest_increment.py)
+    — which is why the driver oracle is the batch SQL chain over fx500
+    (er_oracle.clusters_sql): store mutation doesn't change the result."""
     import shutil
 
     from pyspark.sql import functions as _F
@@ -185,8 +188,9 @@ def _er_deleted_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     500-doc corpus PLUS an engineered A~B~C similarity chain; deleting the
     bridge doc B and one cluster's canonical-min doc must SPLIT the chain
     entity and re-root the cluster — the returned table is proven equal to
-    a one-shot batch run on the remaining corpus (tests/test_delete.py).
-    Rows-only for the driver: the store mutates per run."""
+    a one-shot batch run on the remaining corpus (tests/test_delete.py) —
+    which is why the driver oracle is the batch SQL chain over fx500 plus
+    the inlined chain docs minus the deletions (er_oracle.clusters_sql)."""
     import shutil
 
     from pyspark.sql import functions as _F
@@ -240,7 +244,8 @@ def _er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _er_eval_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row metrics table: pairwise P/R/F1 on labeled pairs at shared
     blocking keys over the seeded corpus — the north-rule acceptance metric
-    (target F1 ≥ 0.99), surfaced through the driver's rows-only check."""
+    (target F1 ≥ 0.99), now value-checked by the driver against the pure-SQL
+    re-derivation in er_oracle.eval_f1_sql."""
     from pyspark.sql import Row
 
     from mediachain_indexer_spark.plans.eval import pairwise_f1
@@ -361,76 +366,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return q
 
 
-def _er_spans_kernel_ctes() -> str:
-    """Shared CTE prefix for the spans-corpus oracles: normalize (flat/txt),
-    hex pHash parse (phu), and the full vectorized-MinHash kernel re-derived
-    in SQL (3-gram mod-2^64 rolling hash, split-multiply splitmix64
-    finalizer, 72 seed-42 permutation minima inlined as literals) — the same
-    machinery proven in catalog.py's dedup_minhash_pairs_docs oracle,
-    re-targeted at the fixture's spans shape and (12,6) blocking config."""
-    from mediachain_indexer_spark.functions.minhash import _coefficients
+def _fx_path(n_docs: int, name: str = "spans_documents.parquet") -> str:
+    return os.path.join(_REPO, ".cache", f"fx{n_docs}", name)
 
-    ac, bc = _coefficients(72, 42)
-    acs = ", ".join(str(x) for x in ac)
-    bcs = ", ".join(str(x) for x in bc)
-    spans = os.path.join(
-        _REPO, ".cache", f"fx{_ER_N_DOCS}", "spans_documents.parquet"
-    )
-    m64 = "18446744073709551616"
-    return f"""flat AS (
-  SELECT doc_id, u.kind AS kind, u.text AS text,
-         u.media_ref AS media_ref, u."offset" AS off
-  FROM (SELECT doc_id, UNNEST(spans) AS u
-        FROM read_parquet('{spans}/*.parquet'))
-),
-txt AS (
-  SELECT doc_id,
-         TRIM(REGEXP_REPLACE(LOWER(string_agg(text, ' ' ORDER BY off)),
-                             '[^a-z0-9]+', ' ', 'g')) AS nt
-  FROM flat WHERE kind = 'text' AND text IS NOT NULL GROUP BY doc_id
-),
-phu AS (
-  SELECT doc_id, CAST(CONCAT('0x', SUBSTR(media_ref, 3, 16)) AS UBIGINT) AS h
-  FROM flat WHERE kind = 'media' AND media_ref IS NOT NULL
-),
-coef AS (SELECT [{acs}]::UBIGINT[] AS ac, [{bcs}]::UBIGINT[] AS bc),
-c AS (
-  SELECT doc_id, length(nt) AS ln,
-    list_transform(range(1, greatest(length(nt), 3) + 1),
-      i -> CASE WHEN i <= length(nt) THEN unicode(substr(nt, i, 1))::UBIGINT
-                ELSE 0::UBIGINT END) AS codes
-  FROM txt WHERE length(nt) > 0
-),
-g AS (
-  SELECT doc_id,
-    list_transform(
-      list_transform(
-        list_transform(
-          list_transform(
-            list_transform(
-              list_transform(range(0, greatest(ln - 3, 0) + 1), s ->
-                ((((codes[s+1]::HUGEINT * 1099511628211 + codes[s+2])
-                  % {m64}) * 1099511628211 + codes[s+3])
-                  % {m64})::UBIGINT),
-              x -> xor(x, x >> 33)),
-            x -> ((x::HUGEINT * 3981806797 % {m64}
-                   + (x::HUGEINT * 4283543511 % 4294967296) * 4294967296)
-                  % {m64})::UBIGINT),
-          x -> xor(x, x >> 33)),
-        x -> ((x::HUGEINT * 444984403 % {m64}
-               + (x::HUGEINT * 3301882366 % 4294967296) * 4294967296)
-              % {m64})::UBIGINT),
-      x -> xor(x, x >> 33) % 2147483647) AS hm
-  FROM c
-),
-sg AS (
-  SELECT doc_id,
-    list_transform(range(1, 73), j ->
-      list_aggregate(
-        list_transform(hm, h -> (ac[j] * h + bc[j]) % 2147483647),
-        'min')) AS sig
-  FROM g CROSS JOIN coef
-)"""
+
+def _er_spans_kernel_ctes() -> str:
+    """fx2000 instance of the shared spans-corpus kernel prefix (normalize,
+    hex pHash parse, full vectorized-MinHash re-derivation) — the builders
+    live in mediachain_indexer_spark/er_oracle.py since round 5 so the
+    fx500 incremental/deletion oracles can parameterize the corpus."""
+    from mediachain_indexer_spark import er_oracle
+
+    return er_oracle.kernel_ctes(_fx_path(_ER_N_DOCS))
 
 
 def _er_candidate_pairs_oracle() -> str:
@@ -444,45 +391,15 @@ def _er_candidate_pairs_oracle() -> str:
     collisions, and hash values never appear in the pairs OUTPUT.  The
     salted-join and exact-suppression machinery do not change the DISTINCT
     pair set (tests/test_blocking_pairs.py), so the oracle is a plain
-    distinct co-blocked self-join.
-
-    Domain guard: ``cap_blocks`` truncation (blocks > 256 members) is NOT
-    replicated — the fixture's max block is 56 — so the oracle error()s
-    loudly if a future fixture ever produces an over-cap block instead of
-    silently hash-mismatching.
+    distinct co-blocked self-join (er_oracle.pairs_feats_ctes, with its
+    over-cap domain guard — fixture max block is 56 of 256).
     """
+    from mediachain_indexer_spark import er_oracle
+
     return f"""
 WITH {_er_spans_kernel_ctes()},
-tkeys AS (
-  SELECT doc_id,
-    unnest(list_transform(range(0, 12), b ->
-      't' || b::VARCHAR || ':' ||
-      array_to_string(list_slice(sig, 6 * b + 1, 6 * b + 6), '_'))) AS bkey
-  FROM sg
-),
-pkeys AS (
-  SELECT doc_id, 'p0:' || ((h >> 43) & 2097151)::VARCHAR AS bkey FROM phu
-  UNION ALL
-  SELECT doc_id, 'p1:' || ((h >> 22) & 2097151)::VARCHAR AS bkey FROM phu
-  UNION ALL
-  SELECT doc_id, 'p2:' || (h & 4194303)::VARCHAR AS bkey FROM phu
-),
-ekeys AS (SELECT doc_id, 'e:' || nt AS bkey FROM txt WHERE length(nt) > 0),
-allk AS (
-  SELECT DISTINCT doc_id, bkey FROM (
-    SELECT * FROM tkeys UNION ALL SELECT * FROM pkeys
-    UNION ALL SELECT * FROM ekeys
-  )
-),
-cap_guard AS (
-  SELECT CASE WHEN max(cnt) > 256
-              THEN error('er_candidate_pairs oracle domain: over-cap block')
-              ELSE 1 END AS ok
-  FROM (SELECT count(*) AS cnt FROM allk GROUP BY bkey)
-)
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM allk a JOIN allk b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
-CROSS JOIN cap_guard
+{er_oracle.pairs_feats_ctes("er_candidate_pairs oracle")}
+SELECT doc_a, doc_b FROM pairsd
 """
 
 
@@ -546,33 +463,73 @@ FROM allk a LEFT JOIN eh USING (doc_id)
 """
 
 
-def oracle_sql() -> dict[str, str]:
-    """ANSI-SQL oracles for every SQL-expressible ``queries()`` entry.
+# the engineered A~B~C similarity chain appended by _er_deleted_clusters,
+# as flat-CTE rows for the deletion oracle (must stay in sync with the
+# literals in _er_deleted_clusters above)
+_CHAIN_BASE = "qwertyuiopasdfghjklzxcvbnmqwer" * 4
+_CHAIN_FLAT_VALUES = f"""
+    UNION ALL
+    SELECT * FROM (VALUES
+      ('x_chain_a', 'text', '{_CHAIN_BASE}', NULL::VARCHAR, 0),
+      ('x_chain_b', 'text', '{"z" + _CHAIN_BASE[1:]}', NULL::VARCHAR, 0),
+      ('x_chain_c', 'text', '{"zx" + _CHAIN_BASE[2:]}', NULL::VARCHAR, 0)
+    ) v(doc_id, kind, text, media_ref, off)
+"""
 
-    ``er_normalize_features`` (round-4 verdict #1) and ``er_candidate_pairs``
-    (round-5 stretch) carry DuckDB oracles over the fixture spans parquet
-    itself: normalize is pure SQL; the pair stage re-derives the full
-    MinHash kernel / banding / pHash bands / exact family with equality-join
-    semantics; and er_blocks additionally reproduces Spark's xxhash64
-    VALUES bit-for-bit at arbitrary input length (band keys, exact_hash)
-    through catalog._xxh64_any_cte_chain.  The remaining er_* stages stay
-    rows-only for cause: scored values embed the reference Jaro-Winkler
-    kernel, and DuckDB's ``jaro_winkler_similarity`` is a DIFFERENT
-    function (boost-threshold + empty-string semantics; measured 313/3000
-    random pairs differing by up to 0.09) so neither value nor decision
-    parity holds; iterative CC and the mutating stores are not
-    single-query-expressible.  Those surfaces are pytest-oracled instead
-    (networkx CC, brute-force blocking recall, incremental ≡ batch)."""
-    from mediachain_indexer_spark import catalog
+
+def oracle_sql() -> dict[str, str]:
+    """ANSI-SQL oracles for every ``queries()`` entry except the HLL one.
+
+    All nine er_* surfaces are DuckDB-oracled over the fixture spans
+    parquet (mediachain_indexer_spark/er_oracle.py builders):
+
+    - ``er_normalize_features`` — pure SQL (UNNEST + ORDER BY offset,
+      cleanup chain, hex→int64 pHash parse);
+    - ``er_blocks`` — Spark's xxhash64 VALUES reproduced bit-for-bit at
+      arbitrary length (catalog._xxh64_any_cte_chain);
+    - ``er_candidate_pairs`` — MinHash kernel + banding + pHash bands +
+      exact family with equality-join semantics;
+    - ``er_matches`` — the cascade scorer replicated exactly (bound-emitting
+      Levenshtein branches, gated Jaro-Winkler re-derived bit-exact as a
+      recursive CTE over the 64-char-truncated inputs);
+    - ``er_matches_grouped`` — the exact-kernel variant;
+    - ``er_clusters`` — match edges → recursive min-label closure (the
+      large-star/small-star loop's order-free RESULT);
+    - ``er_eval_f1`` — labels × block keys × SQL clusters → P/R/F1;
+    - ``er_incremental_clusters`` / ``er_deleted_clusters`` — the store
+      results are proven ≡ one-shot batch clustering of the surviving
+      corpus (tests/test_ingest_increment.py, tests/test_delete.py), so the
+      batch chain over fx500 (± the inlined chain docs / deletions) IS the
+      oracle.
+
+    The one remaining rows-only entry is ``agg_approx_distinct_users``
+    (HLL sketch — inherently not DuckDB-replicable)."""
+    from mediachain_indexer_spark import catalog, er_oracle
     from mediachain_indexer_spark.sources.fixtures import write_corpus
 
-    # idempotent (done-marker): guarantees the spans parquet the oracle
-    # reads exists even if the driver evaluates SQL before the Spark side
+    # idempotent (done-marker): guarantees the spans parquet the oracles
+    # read exists even if the driver evaluates SQL before the Spark side
     write_corpus(os.path.join(_REPO, ".cache", f"fx{_ER_N_DOCS}"), _ER_N_DOCS)
+    write_corpus(os.path.join(_REPO, ".cache", "fx500"), 500)
+    fx = _fx_path(_ER_N_DOCS)
+    fx500 = _fx_path(500)
     out = {
+        "er_clusters": er_oracle.clusters_sql(fx),
+        "er_eval_f1": er_oracle.eval_f1_sql(
+            fx, _fx_path(_ER_N_DOCS, "labeled_pairs.parquet")
+        ),
+        "er_incremental_clusters": er_oracle.clusters_sql(fx500),
+        "er_deleted_clusters": er_oracle.clusters_sql(
+            fx500,
+            extra_flat_values=_CHAIN_FLAT_VALUES,
+            exclude_doc_ids=("x_chain_b", "d000002"),
+            where="WHERE starts_with(doc_id, 'x_chain_') OR doc_id < 'd000020'",
+        ),
         "er_normalize_features": _er_normalize_features_oracle(),
-        "er_candidate_pairs": _er_candidate_pairs_oracle(),
         "er_blocks": _er_blocks_oracle(),
+        "er_candidate_pairs": _er_candidate_pairs_oracle(),
+        "er_matches": er_oracle.matches_sql(fx),
+        "er_matches_grouped": er_oracle.matches_grouped_sql(fx),
     }
     out.update(
         {k: v for k, v in catalog.oracle_sql().items() if k not in _WITHHELD}
