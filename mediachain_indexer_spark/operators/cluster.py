@@ -183,6 +183,11 @@ def connected_components(
         whole job over the match table — disappears.  At real scale pass
         ``shuffle_partitions`` explicitly (conf restored after).
     """
+    import os as _os
+    import time as _time
+
+    _dbg = bool(_os.environ.get("SPARK_GRAFT_CC_DEBUG"))
+    _t_enter = _time.monotonic()
     spark = edges.sparkSession
     old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
     old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
@@ -217,10 +222,8 @@ def connected_components(
             )
             cc_parts = min(width_cap, max(8, -(-n_edges // 300_000)))
         spark.conf.set("spark.sql.shuffle.partitions", str(cc_parts))
-        import os as _os
-        import time as _time
-
-        _dbg = bool(_os.environ.get("SPARK_GRAFT_CC_DEBUG"))
+        if _dbg:
+            print(f"[cc] setup: {_time.monotonic() - _t_enter:.2f}s", flush=True)
 
         # Ground BOTH the plan and the statistics each op.  localCheckpoint
         # truncates the logical plan (without it the tree size multiplies
@@ -260,14 +263,23 @@ def connected_components(
             # The old shape paid a separate deg groupBy per composite round
             # (5 exchanges per 2 ops + check); this is 2 per op with the
             # check free, and the loop can exit at half-round boundaries.
-            stats = _ground(_star_stats(e))
+            # persist WITHOUT localCheckpoint: stats' child is already the
+            # checkpointed e (an RDD scan, one level deep), so there is no
+            # plan growth to truncate — and localCheckpoint(eager=False)
+            # converts to an RDD at CALL time, paying a synchronous
+            # driver-side Catalyst planning pass (~0.1-0.2s each; measured
+            # ~0.85s/call across the loop's six grounded frames).  The
+            # persist still grounds sizeInBytes for JoinSelection.
+            stats = _star_stats(e).persist()
+            _cached.append(stats)
             _nv = stats.where(
                 (F.col("mn") < F.col("u")) & (F.col("mn") != F.col("mx"))
             ).count()
             if _dbg:
                 print(
                     f"[cc] op {_op} ({'large' if op_large else 'small'}): "
-                    f"{_time.monotonic() - _t0:.2f}s viol={_nv} parts={cc_parts}",
+                    f"{_time.monotonic() - _t0:.2f}s viol={_nv} parts={cc_parts} "
+                    f"abs={_time.monotonic() - _t_enter:.2f}",
                     flush=True,
                 )
             if _nv == 0:
@@ -285,11 +297,21 @@ def connected_components(
                     F.least("u", "mn").alias("entity_id"),
                 )
                 _cached.remove(stats)
+                if _dbg:
+                    print(
+                        f"[cc] comp built: {_time.monotonic() - _t0:.2f}s",
+                        flush=True,
+                    )
                 with _CC_LOCK:
                     for _old in _CC_FINAL_CACHES:
                         _old.unpersist()
                     _CC_FINAL_CACHES.clear()
                     _CC_FINAL_CACHES.append(stats)
+                if _dbg:
+                    print(
+                        f"[cc] registry swap: {_time.monotonic() - _t0:.2f}s",
+                        flush=True,
+                    )
                 break
             if op_large:
                 und = e.select("u", "v").unionByName(
@@ -326,10 +348,15 @@ def connected_components(
                 f"connected_components: no convergence in {max_iter} iters"
             )
     finally:
+        _t_fin = _time.monotonic()
         spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
         spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
         for _df in _cached:
             _df.unpersist()
+        if _dbg:
+            print(f"[cc] finally: {_time.monotonic() - _t_fin:.2f}s", flush=True)
+    if _dbg:
+        print(f"[cc] total: {_time.monotonic() - _t_enter:.2f}s", flush=True)
     return comp
 
 
