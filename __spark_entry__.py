@@ -290,11 +290,16 @@ def _er_eval_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   window_rank_family        — windows covered by window_top3/running_revenue
 #   date_funcs_events_daily   — dates covered by window_tumbling_events_10min
 #                               and the re-entering date_extract_parts
+#   json_extract_events       — withheld to make room for the NEW
+#                               text_search_bm25 entry (reference R11);
+#                               json/map family covered by the registered
+#                               map_funcs_event_props
 _WITHHELD = (
     "setop_union_nation_region_names",
     "agg_cube_status_priority",
     "window_rank_family",
     "date_funcs_events_daily",
+    "json_extract_events",
 )
 
 

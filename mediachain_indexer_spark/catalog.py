@@ -1729,3 +1729,106 @@ def join_asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFram
             F.unix_timestamp("v_ts").alias("view_epoch"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Free-text relevance search (reference R11: [PK] mc_web.py /search via the
+# ES BM25 scorer — rebuilt Spark-first in operators/search.py)
+# ---------------------------------------------------------------------------
+_SEARCH_QUERIES = (
+    ("q1", "spark window agg"),
+    ("q2", "hash join merge"),
+    ("q3", "stream batch filter sort"),
+)
+_SEARCH_K = 10
+
+
+def _bm25_oracle() -> str:
+    """DuckDB twin of ``bm25_topk`` over the ``documents`` view.
+
+    Float-parity per the repo rules: every folded constant is injected as
+    its Python ``repr`` (shortest round-trip decimal → identical double in
+    both parsers; ``k1 + 1.0`` folds to 2.2000000000000002, NOT 2.2),
+    expression shapes mirror the Spark column tree, and the one
+    non-portable op — ``ln`` (1-ulp divergence on ~2% of inputs, measured)
+    — never reaches the output: ranks order by ``round(score, 6)`` with a
+    doc_id tiebreak, so only a score landing within an ulp of a 0.5e-6
+    rounding boundary could flip the hash."""
+    from mediachain_indexer_spark.operators.search import (
+        DEFAULT_B,
+        DEFAULT_K1,
+        tokenize_query,
+    )
+
+    k1, b = DEFAULT_K1, DEFAULT_B
+    k1p1 = repr(k1 + 1.0)
+    qvals = ", ".join(
+        f"('{qid}', '{t}')"
+        for qid, qtext in _SEARCH_QUERIES
+        for t in tokenize_query(qtext)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t
+    FROM documents
+  ) WHERE t <> ''
+),
+postings AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM postings GROUP BY doc_id),
+stats AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+  FROM dl
+),
+qterms(query_id, term) AS (VALUES {qvals}),
+matched AS (
+  SELECT p.* FROM postings p
+  JOIN (SELECT DISTINCT term FROM qterms) q USING (term)
+),
+dft AS (SELECT term, count(*) AS df FROM matched GROUP BY term),
+contrib AS (
+  SELECT q.query_id, m.doc_id,
+    ln(1.0::DOUBLE
+       + (CAST(s.n_docs - d.df AS DOUBLE) + 0.5::DOUBLE)
+         / (CAST(d.df AS DOUBLE) + 0.5::DOUBLE))
+    * (CAST(m.tf AS DOUBLE) * {k1p1}::DOUBLE)
+    / (CAST(m.tf AS DOUBLE)
+       + {k1!r}::DOUBLE
+         * (1.0::DOUBLE - {b!r}::DOUBLE
+            + {b!r}::DOUBLE * CAST(l.dl AS DOUBLE) / s.avgdl)) AS contrib
+  FROM matched m
+  JOIN qterms q USING (term)
+  JOIN dft d USING (term)
+  JOIN dl l USING (doc_id)
+  CROSS JOIN stats s
+),
+scores AS (
+  SELECT query_id, doc_id, sum(contrib) AS score
+  FROM contrib GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(score, 6) DESC, doc_id ASC) AS "rank"
+  FROM scores
+)
+SELECT query_id, doc_id, "rank" FROM ranked WHERE "rank" <= {_SEARCH_K}
+"""
+
+
+@_q("text_search_bm25", _bm25_oracle())
+def text_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 BM25 hits for three fixed multi-term queries over the
+    documents corpus — the reference's /search surface as a DataFrame
+    pipeline: postings build (one exploding groupBy), broadcast query-term
+    pruning BEFORE df/idf/scoring, rank window per query.  Rank-only
+    output by design (module docstring: ln is not bit-portable)."""
+    from mediachain_indexer_spark.operators.search import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, list(_SEARCH_QUERIES), k=_SEARCH_K)
