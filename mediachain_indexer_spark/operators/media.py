@@ -3,8 +3,13 @@
 Parity: the reference attaches a base64 thumbnail to each doc at ingest and
 computes its perceptual hash with PIL + imagehash
 (``mediachain/indexer/mc_ingest.py`` thumbnail handling, ``mc_dedupe.py``
-hash helpers).  This environment has no image/audio libraries, so the DECODE
-step is stubbed (deterministic fake, clearly marked) while everything
+hash helpers).  This environment has no image libraries, so decode is
+tiered: UNCOMPRESSED containers (netpbm P5/P6, BI_RGB BMP) decode for REAL
+in pure numpy (``decode_image``), compressed containers (JPEG/PNG/GIF/WEBP
+magics) remain the one prod-needs-PIL stub (a loud ``NotImplementedError``
+the workers record as decode_ok=false), and unrecognized bytes fall back to
+a deterministic fake so arbitrary sandbox fixtures still flow end-to-end.
+The DCT pHash itself is the real imagehash.phash algorithm, and everything
 Spark-side — schema, Arrow batch shape, ``mapInPandas`` plumbing,
 partition sizing — is real and tested.
 
@@ -60,6 +65,146 @@ def _decode_image_stub(content: bytes) -> np.ndarray:
     return np.tile(arr, reps)[:1024].reshape(32, 32).astype(np.float64)
 
 
+_BT601 = np.array([0.299, 0.587, 0.114])  # ITU-R BT.601 luma weights
+
+
+def _decode_pnm(data: bytes) -> np.ndarray:
+    """Binary PGM (P5) / PPM (P6) → grayscale float64 (H, W), pure numpy.
+
+    The netpbm container is public knowledge: ASCII header tokens
+    (magic, width, height, maxval) separated by whitespace, ``#`` comments
+    to end-of-line, then raw big-endian samples (1 byte ≤ 255 maxval,
+    2 bytes above).  Color collapses to BT.601 luma."""
+    magic = data[:2]
+    pos = 2
+    tokens: list[int] = []
+    while len(tokens) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":
+            while pos < len(data) and data[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(data[start:pos]))
+    pos += 1  # single whitespace after maxval, then raw samples
+    w, h, maxval = tokens
+    if w <= 0 or h <= 0 or not 0 < maxval < 65536:
+        raise ValueError(f"pnm: bad dimensions {w}x{h} maxval={maxval}")
+    ch = 3 if magic == b"P6" else 1
+    dt = np.dtype(">u2") if maxval > 255 else np.uint8
+    n = w * h * ch
+    raw = np.frombuffer(data, dtype=dt, count=n, offset=pos)
+    img = raw.reshape(h, w, ch).astype(np.float64)
+    if maxval != 255:
+        img = img * (255.0 / maxval)
+    return img @ _BT601 if ch == 3 else img[:, :, 0]
+
+
+def _decode_bmp(data: bytes) -> np.ndarray:
+    """Uncompressed 8/24/32-bit BI_RGB BMP → grayscale float64 (H, W).
+
+    Little-endian BITMAPFILEHEADER (pixel offset at byte 10) +
+    BITMAPINFOHEADER (width/height int32 at 18/22, bpp uint16 at 28,
+    compression uint32 at 30); rows are padded to 4 bytes and stored
+    bottom-up when height > 0.  8-bit is treated as grayscale (palette
+    ignored — identity palette assumed, the common case for gray BMPs)."""
+    if len(data) < 54:
+        raise ValueError("bmp: truncated header")
+    off = int.from_bytes(data[10:14], "little")
+    w = int.from_bytes(data[18:22], "little", signed=True)
+    h = int.from_bytes(data[22:26], "little", signed=True)
+    bpp = int.from_bytes(data[28:30], "little")
+    comp = int.from_bytes(data[30:34], "little")
+    if comp != 0 or bpp not in (8, 24, 32):
+        raise NotImplementedError(
+            f"bmp: compression={comp} bpp={bpp} requires PIL (prod only)"
+        )
+    top_down = h < 0
+    h = abs(h)
+    if w <= 0 or h == 0:
+        raise ValueError(f"bmp: bad dimensions {w}x{h}")
+    nch = bpp // 8
+    stride = (w * nch + 3) & ~3
+    if off + stride * h > len(data):
+        raise ValueError("bmp: truncated pixel data")
+    rows = np.frombuffer(data, dtype=np.uint8, count=stride * h, offset=off)
+    img = rows.reshape(h, stride)[:, : w * nch].reshape(h, w, nch)
+    if not top_down:
+        img = img[::-1]
+    img = img.astype(np.float64)
+    if nch == 1:
+        return img[:, :, 0]
+    return img[:, :, :3] @ _BT601[::-1]  # BMP stores BGR
+
+
+def decode_image(content: bytes) -> np.ndarray:
+    """REAL decode for the uncompressed containers a pure-numpy worker can
+    parse (netpbm P5/P6, BI_RGB BMP) → grayscale float64 (H, W).
+
+    Compressed containers (JPEG/PNG/GIF/WEBP magics) raise
+    NotImplementedError — that is the ONLY remaining prod-needs-PIL stub;
+    unrecognized bytes raise ValueError (corrupt payload, handled by the
+    callers' skip-don't-crash policy)."""
+    if content is None or len(content) < 2:
+        raise ValueError("empty media payload")
+    head = bytes(content[:8])
+    if head[:2] in (b"P5", b"P6"):
+        return _decode_pnm(bytes(content))
+    if head[:2] == b"BM":
+        return _decode_bmp(bytes(content))
+    if (
+        head[:2] == b"\xff\xd8"  # JPEG
+        or head[:8] == b"\x89PNG\r\n\x1a\n"  # PNG
+        or head[:4] == b"GIF8"  # GIF
+        or head[:4] == b"RIFF"  # WEBP et al.
+    ):
+        raise NotImplementedError("compressed image decode requires PIL (prod only)")
+    raise ValueError("unrecognized image container")
+
+
+def _gray_to_32(img: np.ndarray) -> np.ndarray:
+    """Area-average (box filter) resample of a grayscale array to 32×32 —
+    the pHash front-end resize.  Production imagehash uses PIL's Lanczos;
+    the box filter preserves the same low-frequency content the 8×8 DCT
+    block keeps, which is what the Hamming-locality property needs."""
+    h, w = img.shape
+    if (h, w) == (32, 32):
+        return img
+    if h < 32 or w < 32:  # upsample small images by index replication
+        img = img[
+            (np.arange(32) * h // 32).clip(0, h - 1)[:, None],
+            (np.arange(32) * w // 32).clip(0, w - 1)[None, :],
+        ]
+        return img
+    ye = (np.arange(33) * h) // 32
+    xe = (np.arange(33) * w) // 32
+    out = np.empty((32, 32), dtype=np.float64)
+    for i in range(32):
+        band = img[ye[i] : ye[i + 1]]
+        for j in range(32):
+            out[i, j] = band[:, xe[j] : xe[j + 1]].mean()
+    return out
+
+
+def _decode_any(content: bytes, to32: bool = True) -> np.ndarray:
+    """Worker-side decode policy: REAL decode for parseable containers,
+    the deterministic fake for anything else (so sandbox fixtures with
+    arbitrary bytes still flow end-to-end).  ``to32`` applies the pHash
+    front-end resize; compressed containers surface the prod-only PIL stub
+    as NotImplementedError, which the callers' skip-don't-crash handlers
+    record as decode_ok=false."""
+    try:
+        img = decode_image(content)
+    except NotImplementedError:
+        raise
+    except ValueError:
+        img = _decode_image_stub(content)
+    return _gray_to_32(img) if to32 else img
+
+
 # 32×32 DCT-II basis, built once per worker: M[k, n] = 2·cos(π·k·(2n+1)/2N)
 # (the unnormalized type-II DCT — same convention as scipy.fftpack.dct with
 # norm=None, which is what the public imagehash.phash uses; normalization
@@ -108,7 +253,7 @@ def phash_media_batches(
         for ref, content in zip(pdf["media_ref"], pdf["content"]):
             refs.append(ref)
             try:
-                img = _decode_image_stub(content)
+                img = _decode_any(content)
                 hashes.append(_phash_of_gray(img))
                 oks.append(True)
             except Exception:
@@ -153,7 +298,7 @@ def make_resize_batches(width: int, height: int):
             out_bytes, ws, hs, oks = [], [], [], []
             for content in pdf["content"]:
                 try:
-                    img = _decode_image_stub(content)  # (32, 32) float64
+                    img = _decode_any(content, to32=False)  # (H, W) float64
                     # block-average "resize" onto the target grid
                     yi = (np.arange(height) * img.shape[0] // height).clip(
                         0, img.shape[0] - 1
@@ -215,7 +360,7 @@ def make_frame_sample_batches(n_frames: int):
             refs, idxs, frames, oks = [], [], [], []
             for ref, content in zip(pdf["media_ref"], pdf["content"]):
                 try:
-                    img = _decode_image_stub(content)
+                    img = _decode_any(content)
                     buf = img.astype(np.uint8).ravel()
                     for f in range(n_frames):
                         refs.append(ref)
