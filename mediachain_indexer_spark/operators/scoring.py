@@ -90,10 +90,19 @@ def score_pairs(
     is cascade-gated (functions/simtext.make_gated_jw): null on rows where
     no jw value could change ``is_match``.
     """
-    n_parts = cfg.score_partitions or (
-        pairs.sparkSession.sparkContext.defaultParallelism * 2
-    )
-    pairs = pairs.repartition(n_parts)
+    # NO entry repartition by default (round-5 A/B, 2M docs / 24.9M pairs,
+    # 2 alternating reps each): the historical round-robin
+    # repartition(2×parallelism) was wall-neutral at the score stage
+    # (47.5/48.3 s with vs 49.3/47.8 s without, outputs bit-identical) —
+    # the doc_a feature join re-shuffles the pair table by key immediately,
+    # so the round-robin exchange balances nothing the join exchange
+    # doesn't.  Locally that extra shuffle hides in tmpfs+lz4; on a real
+    # cluster it is a full network pass over the biggest table in the
+    # pipeline.  cfg.score_partitions stays honored for callers that need
+    # an explicit width (e.g. to override a pathological upstream AQE
+    # coalesce).
+    if cfg.score_partitions:
+        pairs = pairs.repartition(cfg.score_partitions)
     fa = features.select(
         F.col("doc_id").alias("doc_a"),
         F.col("norm_text").alias("text_a"),
