@@ -240,9 +240,12 @@ def main() -> None:
     ap.add_argument(
         "--er-reps",
         type=int,
-        default=int(os.environ.get("SPARK_GRAFT_ER_REPS", "3")),
+        default=int(os.environ.get("SPARK_GRAFT_ER_REPS", "5")),
         help="in-process timed ER pipeline reps; median rep is reported "
-        "(tools/bench_scaling.py passes 1 — it medians across JVMs instead)",
+        "(tools/bench_scaling.py passes 1 — it medians across JVMs instead). "
+        "Default 5 since round 5: the sandbox host shows episodic multi-ten-"
+        "second degradation windows (BENCH/BASELINE.md host-state note), and "
+        "a 5-rep median rides one out where a 3-rep median cannot",
     )
     args = ap.parse_args()
 

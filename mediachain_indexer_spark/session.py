@@ -72,6 +72,22 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
+    # Pre-size (and pre-fault) the driver/executor heap the way a production
+    # executor runs (-Xms == -Xmx): lazy heap growth turns the first timed
+    # reps into kernel page-zeroing storms on this sandbox's VM (measured
+    # 2026-08-17: vmstat `sy` 40-78% during rep 1-2, first-rep e2e 24.6s vs
+    # 12.4s warm without the flags; 17.3s vs 12.0s with them — BENCH/
+    # BASELINE.md "host-state" note).  AlwaysPreTouch moves the fault-in to
+    # JVM startup, outside any timed region.  Auto-disabled for large-heap
+    # probes where the shuffle tmpfs and the heap share physical RAM and an
+    # eagerly resident heap would add OOM pressure (the 16M-doc probe).
+    heap = os.environ.get("SPARK_DRIVER_MEM", "16g")
+    pretouch = os.environ.get("SPARK_GRAFT_PRETOUCH", "auto")
+    heap_gb = float(heap[:-1]) if heap[-1] in "gG" else 0.0
+    if pretouch == "1" or (pretouch == "auto" and 0 < heap_gb <= 24):
+        builder = builder.config(
+            "spark.driver.extraJavaOptions", f"-Xms{heap} -XX:+AlwaysPreTouch"
+        )
     # shuffle spill dir: prefer RAM-backed tmpfs over the shared root disk —
     # the sandbox analog of the fast local NVMe a real executor would have.
     # Concurrent shuffle writers on a slow disk anti-scale with core count.
