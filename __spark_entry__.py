@@ -206,14 +206,11 @@ def _er_deleted_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     paths = write_corpus(os.path.join(_REPO, ".cache", "fx500"), 500)
     # 120 chars: 1-edit neighbors clear the 0.99 text-only threshold
-    # (119/120), the 2-edit A-C pair misses it (tests/test_delete.py)
-    base = "qwertyuiopasdfghjklzxcvbnmqwer" * 4
+    # (119/120), the 2-edit A-C pair misses it (tests/test_delete.py).
+    # Texts come from the module-level _CHAIN_* constants so the Spark
+    # surface and its oracle (_CHAIN_FLAT_VALUES) can never drift apart.
     chain = spark.createDataFrame(
-        [
-            ("x_chain_a", [("text", base, None, 0)]),
-            ("x_chain_b", [("text", "z" + base[1:], None, 0)]),
-            ("x_chain_c", [("text", "zx" + base[2:], None, 0)]),
-        ],
+        [(doc_id, [("text", text, None, 0)]) for doc_id, text in _CHAIN_DOCS],
         SPANS_SCHEMA,
     )
     docs = read_documents(spark, paths["spans_documents"]).unionByName(chain)
@@ -246,10 +243,19 @@ def _er_eval_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking keys over the seeded corpus — the north-rule acceptance metric
     (target F1 ≥ 0.99), now value-checked by the driver against the pure-SQL
     re-derivation in er_oracle.eval_f1_sql."""
+    import math
+
     from pyspark.sql import Row
 
     from mediachain_indexer_spark.plans.eval import pairwise_f1
     from mediachain_indexer_spark.sources.fixtures import write_corpus
+
+    def r6(x: float) -> float:
+        # half-AWAY-from-zero at 6 places (metrics are ≥ 0), matching
+        # DuckDB's round() in er_oracle.eval_f1_sql — Python's built-in
+        # round() is half-to-even and diverges on exact k.5e-6 ties
+        # (e.g. 1/128: Python 0.007812, DuckDB 0.007813)
+        return math.floor(float(x) * 1e6 + 0.5) / 1e6
 
     paths = write_corpus(os.path.join(_REPO, ".cache", f"fx{_ER_N_DOCS}"), _ER_N_DOCS)
     labels = spark.read.parquet(paths["labeled_pairs"])
@@ -262,9 +268,9 @@ def _er_eval_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
                 tp=int(m["tp"]),
                 fp=int(m["fp"]),
                 fn=int(m["fn"]),
-                precision=round(float(m["precision"]), 6),
-                recall=round(float(m["recall"]), 6),
-                f1=round(float(m["f1"]), 6),
+                precision=r6(m["precision"]),
+                recall=r6(m["recall"]),
+                f1=r6(m["f1"]),
             )
         ]
     )
@@ -315,35 +321,18 @@ def _er_normalize_features_oracle() -> str:
     fixture corpus guarantees every media_ref matches the hex form, so the
     xxhash64 fallback branch never fires (sources/fixtures.py media_ref_of).
     """
-    spans = os.path.join(
-        _REPO, ".cache", f"fx{_ER_N_DOCS}", "spans_documents.parquet"
-    )
+    from mediachain_indexer_spark import er_oracle
+
     return f"""
-WITH flat AS (
-  SELECT doc_id, u.kind AS kind, u.text AS text,
-         u.media_ref AS media_ref, u."offset" AS off
-  FROM (SELECT doc_id, UNNEST(spans) AS u
-        FROM read_parquet('{spans}/*.parquet'))
-),
-txt AS (
-  SELECT doc_id,
-         TRIM(REGEXP_REPLACE(LOWER(string_agg(text, ' ' ORDER BY off)),
-                             '[^a-z0-9]+', ' ', 'g')) AS norm_text
-  FROM flat WHERE kind = 'text' AND text IS NOT NULL GROUP BY doc_id
-),
+WITH {er_oracle.base_ctes(_fx_path(_ER_N_DOCS))},
 ph AS (
   SELECT doc_id,
-         string_agg(CAST(CAST(
-           CAST(CAST(CONCAT('0x', SUBSTR(media_ref, 3, 16)) AS UBIGINT) AS HUGEINT)
-           - CASE WHEN CAST(CONCAT('0x', SUBSTR(media_ref, 3, 16)) AS UBIGINT)
-                       >= CAST('0x8000000000000000' AS UBIGINT)
-                  THEN CAST('18446744073709551616' AS HUGEINT) ELSE 0 END
-         AS BIGINT) AS VARCHAR), ',' ORDER BY off) AS phashes_csv
-  FROM flat WHERE kind = 'media' AND media_ref IS NOT NULL GROUP BY doc_id
+         string_agg(CAST(hs AS VARCHAR), ',' ORDER BY off) AS phashes_csv
+  FROM phu GROUP BY doc_id
 ),
 ids AS (SELECT DISTINCT doc_id FROM flat)
 SELECT ids.doc_id AS doc_id,
-       COALESCE(txt.norm_text, '') AS norm_text,
+       COALESCE(txt.nt, '') AS norm_text,
        COALESCE(ph.phashes_csv, '') AS phashes_csv
 FROM ids LEFT JOIN txt USING (doc_id) LEFT JOIN ph USING (doc_id)
 """
@@ -423,6 +412,7 @@ def _er_blocks_oracle() -> str:
     slice) and (doc, norm_text) rows.  pHash band keys are pure bit math.
     Spark's per-doc array_distinct ≡ the DISTINCT (doc_id, block_key) here.
     """
+    from mediachain_indexer_spark import er_oracle
     from mediachain_indexer_spark.catalog import _xxh64_any_cte_chain
 
     m64 = "18446744073709551616"
@@ -451,11 +441,7 @@ tek AS (
   FROM sh
 ),
 pk AS (
-  SELECT doc_id, 'p0:' || ((h >> 43) & 2097151)::VARCHAR AS block_key FROM phu
-  UNION ALL
-  SELECT doc_id, 'p1:' || ((h >> 22) & 2097151)::VARCHAR AS block_key FROM phu
-  UNION ALL
-  SELECT doc_id, 'p2:' || (h & 4194303)::VARCHAR AS block_key FROM phu
+  {er_oracle.phash_band_keys_select("block_key")}
 ),
 eh AS (SELECT doc_id, hv AS exact_hash FROM sh WHERE fam = 'e'),
 allk AS (
@@ -468,18 +454,23 @@ FROM allk a LEFT JOIN eh USING (doc_id)
 """
 
 
-# the engineered A~B~C similarity chain appended by _er_deleted_clusters,
-# as flat-CTE rows for the deletion oracle (must stay in sync with the
-# literals in _er_deleted_clusters above)
+# the engineered A~B~C similarity chain appended by _er_deleted_clusters —
+# the SINGLE source of truth for both the Spark surface (above) and the
+# deletion oracle's flat-CTE rows (below)
 _CHAIN_BASE = "qwertyuiopasdfghjklzxcvbnmqwer" * 4
-_CHAIN_FLAT_VALUES = f"""
-    UNION ALL
-    SELECT * FROM (VALUES
-      ('x_chain_a', 'text', '{_CHAIN_BASE}', NULL::VARCHAR, 0),
-      ('x_chain_b', 'text', '{"z" + _CHAIN_BASE[1:]}', NULL::VARCHAR, 0),
-      ('x_chain_c', 'text', '{"zx" + _CHAIN_BASE[2:]}', NULL::VARCHAR, 0)
-    ) v(doc_id, kind, text, media_ref, off)
-"""
+_CHAIN_DOCS = (
+    ("x_chain_a", _CHAIN_BASE),
+    ("x_chain_b", "z" + _CHAIN_BASE[1:]),
+    ("x_chain_c", "zx" + _CHAIN_BASE[2:]),
+)
+_CHAIN_FLAT_VALUES = (
+    "\n    UNION ALL\n    SELECT * FROM (VALUES\n      "
+    + ",\n      ".join(
+        f"('{doc_id}', 'text', '{text}', NULL::VARCHAR, 0)"
+        for doc_id, text in _CHAIN_DOCS
+    )
+    + "\n    ) v(doc_id, kind, text, media_ref, off)\n"
+)
 
 
 def oracle_sql() -> dict[str, str]:

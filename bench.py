@@ -38,7 +38,7 @@ def bench_er(
     spark,
     n_docs: int,
     warmup_docs: int = 3000,
-    reps: int = 3,
+    reps: int = 5,
     block_storage: str = "memory",
     minhash_rows: int | None = None,
 ) -> dict:
@@ -149,8 +149,12 @@ def _bench_er_once(
     # (12,7) at junk-dense scale (BENCH/BASELINE.md S-curve study)
     from mediachain_indexer_spark.operators.blocking import BlockingConfig
 
+    if minhash_rows is not None and minhash_rows < 1:
+        raise ValueError(f"--minhash-rows must be >= 1, got {minhash_rows}")
     bcfg = (
-        BlockingConfig(minhash_rows=minhash_rows) if minhash_rows else BlockingConfig()
+        BlockingConfig(minhash_rows=minhash_rows)
+        if minhash_rows is not None
+        else BlockingConfig()
     )
     blocks = timed("block", build_blocks(feats, bcfg), storage=block_storage)
     pairs = timed("pairs", candidate_pairs(blocks))

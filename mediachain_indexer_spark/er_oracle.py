@@ -43,6 +43,63 @@ _D = "::DOUBLE"
 
 
 # ---------------------------------------------------------------------------
+# spans corpus -> normalize prefix (flat, txt, phu) — no MinHash machinery
+# ---------------------------------------------------------------------------
+def base_ctes(
+    spans_path: str,
+    extra_flat_values: str = "",
+    exclude_doc_ids: tuple[str, ...] = (),
+) -> str:
+    """The spans-corpus normalize prefix shared by EVERY oracle: flattened
+    spans, normalized text (lower -> strip non-alnum -> trim, spans joined
+    in offset order), and the hex-embedded pHash parse — ``phu`` carries the
+    span offset and BOTH the unsigned value ``h`` (band bit math) and the
+    two's-complement signed fold ``hs`` (the int64 Spark stores), so the
+    normalize-features oracle and the band-key oracles read one CTE
+    (operators/normalize.py, functions/phash.py)."""
+    m64 = "18446744073709551616"
+    excl = ""
+    if exclude_doc_ids:
+        ids = ", ".join(f"'{d}'" for d in exclude_doc_ids)
+        excl = f"WHERE doc_id NOT IN ({ids})"
+    return f"""flat AS (
+  SELECT * FROM (
+    SELECT doc_id, u.kind AS kind, u.text AS text,
+           u.media_ref AS media_ref, u."offset" AS off
+    FROM (SELECT doc_id, UNNEST(spans) AS u
+          FROM read_parquet('{spans_path}/*.parquet'))
+    {extra_flat_values}
+  ) {excl}
+),
+txt AS (
+  SELECT doc_id,
+         TRIM(REGEXP_REPLACE(LOWER(string_agg(text, ' ' ORDER BY off)),
+                             '[^a-z0-9]+', ' ', 'g')) AS nt
+  FROM flat WHERE kind = 'text' AND text IS NOT NULL GROUP BY doc_id
+),
+phu AS (
+  SELECT doc_id, off, h,
+    CAST(CAST(h AS HUGEINT)
+         - CASE WHEN h >= CAST('0x8000000000000000' AS UBIGINT)
+                THEN CAST('{m64}' AS HUGEINT) ELSE 0 END AS BIGINT) AS hs
+  FROM (SELECT doc_id, off,
+               CAST(CONCAT('0x', SUBSTR(media_ref, 3, 16)) AS UBIGINT) AS h
+        FROM flat WHERE kind = 'media' AND media_ref IS NOT NULL)
+)"""
+
+
+def phash_band_keys_select(key_col: str = "bkey") -> str:
+    """The 21/21/22-bit pHash band-key split over ``phu`` — ONE definition
+    serving the pairs oracle and the blocks oracle (functions/phash.py
+    band layout)."""
+    return f"""SELECT doc_id, 'p0:' || ((h >> 43) & 2097151)::VARCHAR AS {key_col} FROM phu
+  UNION ALL
+  SELECT doc_id, 'p1:' || ((h >> 22) & 2097151)::VARCHAR AS {key_col} FROM phu
+  UNION ALL
+  SELECT doc_id, 'p2:' || (h & 4194303)::VARCHAR AS {key_col} FROM phu"""
+
+
+# ---------------------------------------------------------------------------
 # spans corpus -> normalize + MinHash kernel (flat, txt, phu, coef, c, g, sg)
 # ---------------------------------------------------------------------------
 def kernel_ctes(
@@ -70,29 +127,7 @@ def kernel_ctes(
     acs = ", ".join(str(x) for x in ac)
     bcs = ", ".join(str(x) for x in bc)
     m64 = "18446744073709551616"
-    excl = ""
-    if exclude_doc_ids:
-        ids = ", ".join(f"'{d}'" for d in exclude_doc_ids)
-        excl = f"WHERE doc_id NOT IN ({ids})"
-    return f"""flat AS (
-  SELECT * FROM (
-    SELECT doc_id, u.kind AS kind, u.text AS text,
-           u.media_ref AS media_ref, u."offset" AS off
-    FROM (SELECT doc_id, UNNEST(spans) AS u
-          FROM read_parquet('{spans_path}/*.parquet'))
-    {extra_flat_values}
-  ) {excl}
-),
-txt AS (
-  SELECT doc_id,
-         TRIM(REGEXP_REPLACE(LOWER(string_agg(text, ' ' ORDER BY off)),
-                             '[^a-z0-9]+', ' ', 'g')) AS nt
-  FROM flat WHERE kind = 'text' AND text IS NOT NULL GROUP BY doc_id
-),
-phu AS (
-  SELECT doc_id, CAST(CONCAT('0x', SUBSTR(media_ref, 3, 16)) AS UBIGINT) AS h
-  FROM flat WHERE kind = 'media' AND media_ref IS NOT NULL
-),
+    return f"""{base_ctes(spans_path, extra_flat_values, exclude_doc_ids)},
 coef AS (SELECT [{acs}]::UBIGINT[] AS ac, [{bcs}]::UBIGINT[] AS bc),
 c AS (
   SELECT doc_id, length(nt) AS ln,
@@ -153,11 +188,7 @@ def pairs_feats_ctes(guard_name: str = "er scored oracle") -> str:
   FROM sg
 ),
 pkeys AS (
-  SELECT doc_id, 'p0:' || ((h >> 43) & 2097151)::VARCHAR AS bkey FROM phu
-  UNION ALL
-  SELECT doc_id, 'p1:' || ((h >> 22) & 2097151)::VARCHAR AS bkey FROM phu
-  UNION ALL
-  SELECT doc_id, 'p2:' || (h & 4194303)::VARCHAR AS bkey FROM phu
+  {phash_band_keys_select("bkey")}
 ),
 ekeys AS (SELECT doc_id, 'e:' || nt AS bkey FROM txt WHERE length(nt) > 0),
 allk AS (

@@ -65,6 +65,12 @@ def _decode_image_stub(content: bytes) -> np.ndarray:
     return np.tile(arr, reps)[:1024].reshape(32, 32).astype(np.float64)
 
 
+class CorruptMediaError(ValueError):
+    """Recognized container magic, unparseable payload — the caller's
+    skip-don't-crash policy records decode_ok=false for these (the plain
+    ValueError 'unrecognized container' case flows to the sandbox fake)."""
+
+
 _BT601 = np.array([0.299, 0.587, 0.114])  # ITU-R BT.601 luma weights
 
 
@@ -151,10 +157,18 @@ def decode_image(content: bytes) -> np.ndarray:
     if content is None or len(content) < 2:
         raise ValueError("empty media payload")
     head = bytes(content[:8])
-    if head[:2] in (b"P5", b"P6"):
-        return _decode_pnm(bytes(content))
-    if head[:2] == b"BM":
-        return _decode_bmp(bytes(content))
+    if head[:2] in (b"P5", b"P6") or head[:2] == b"BM":
+        # recognized magic: any parse failure is a CORRUPT payload, not an
+        # unknown container — callers must record it as decode_ok=false,
+        # never substitute the deterministic fake (CorruptMediaError keeps
+        # the two cases distinguishable through the ValueError hierarchy)
+        dec = _decode_pnm if head[:2] in (b"P5", b"P6") else _decode_bmp
+        try:
+            return dec(bytes(content))
+        except NotImplementedError:
+            raise
+        except Exception as e:
+            raise CorruptMediaError(f"{dec.__name__[8:]}: {e}") from e
     if (
         head[:2] == b"\xff\xd8"  # JPEG
         or head[:8] == b"\x89PNG\r\n\x1a\n"  # PNG
@@ -171,13 +185,18 @@ def _gray_to_32(img: np.ndarray) -> np.ndarray:
     the box filter preserves the same low-frequency content the 8×8 DCT
     block keeps, which is what the Hamming-locality property needs."""
     h, w = img.shape
+    # axes are handled INDEPENDENTLY: a small axis upsamples by index
+    # replication, a large axis downsamples by box filter — a 16×1000
+    # banner must box-filter its 1000 columns, not point-sample 32 of them
+    # (point-sampling aliases high frequencies and breaks the Hamming
+    # locality a 1-pixel shift should preserve)
+    if h < 32:
+        img = img[(np.arange(32) * h // 32).clip(0, h - 1), :]
+        h = 32
+    if w < 32:
+        img = img[:, (np.arange(32) * w // 32).clip(0, w - 1)]
+        w = 32
     if (h, w) == (32, 32):
-        return img
-    if h < 32 or w < 32:  # upsample small images by index replication
-        img = img[
-            (np.arange(32) * h // 32).clip(0, h - 1)[:, None],
-            (np.arange(32) * w // 32).clip(0, w - 1)[None, :],
-        ]
         return img
     ye = (np.arange(33) * h) // 32
     xe = (np.arange(33) * w) // 32
@@ -198,7 +217,9 @@ def _decode_any(content: bytes, to32: bool = True) -> np.ndarray:
     record as decode_ok=false."""
     try:
         img = decode_image(content)
-    except NotImplementedError:
+    except (NotImplementedError, CorruptMediaError):
+        # prod-only decode and corrupt-recognized-container payloads both
+        # surface to the caller's skip-don't-crash handler (decode_ok=false)
         raise
     except ValueError:
         img = _decode_image_stub(content)

@@ -83,7 +83,15 @@ def get_spark(
     # eagerly resident heap would add OOM pressure (the 16M-doc probe).
     heap = os.environ.get("SPARK_DRIVER_MEM", "16g")
     pretouch = os.environ.get("SPARK_GRAFT_PRETOUCH", "auto")
-    heap_gb = float(heap[:-1]) if heap[-1] in "gG" else 0.0
+    try:
+        if heap and heap[-1] in "gG":
+            heap_gb = float(heap[:-1])
+        elif heap and heap[-1] in "mM":
+            heap_gb = float(heap[:-1]) / 1024
+        else:
+            heap_gb = 0.0  # unknown spec → let Spark validate; no pretouch
+    except ValueError:
+        heap_gb = 0.0
     if pretouch == "1" or (pretouch == "auto" and 0 < heap_gb <= 24):
         builder = builder.config(
             "spark.driver.extraJavaOptions", f"-Xms{heap} -XX:+AlwaysPreTouch"

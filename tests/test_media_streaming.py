@@ -556,3 +556,65 @@ def test_real_image_phash_hamming_locality(spark):
     d_other = bin((out["base"]["phash"] ^ out["other"]["phash"]) & (2**64 - 1)).count("1")
     assert d_noise <= 16
     assert d_other > d_noise
+
+
+def test_corrupt_recognized_container_is_flagged_not_faked(spark):
+    """A payload whose MAGIC is recognized but whose body is unparseable
+    (truncated BMP, garbled PGM header) must surface as decode_ok=false —
+    never be silently hashed via the deterministic sandbox fake, which is
+    reserved for unrecognized containers (media.CorruptMediaError)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from mediachain_indexer_spark.operators.media import (
+        MEDIA_SCHEMA as _MS,
+        CorruptMediaError,
+        compute_media_phashes,
+        decode_image,
+    )
+
+    img = np.tile(np.arange(40) * 6, (40, 1)).astype(np.float64)
+    good_bmp = _bmp_bytes(np.stack([img] * 3, axis=-1))
+    truncated_bmp = good_bmp[: len(good_bmp) // 2]  # header ok, pixels cut
+    bad_pgm = b"P5\n0 0\n255\n"  # zero dimensions
+
+    with _pytest.raises(CorruptMediaError):
+        decode_image(truncated_bmp)
+    with _pytest.raises(CorruptMediaError):
+        decode_image(bad_pgm)
+
+    rows = [
+        ("good", good_bmp, {"mime": "image/bmp", "width": 40, "height": 40, "n_bytes": 0}),
+        ("trunc", truncated_bmp, {"mime": "image/bmp", "width": 40, "height": 40, "n_bytes": 0}),
+        ("badpgm", bad_pgm, {"mime": "image/x-pgm", "width": 0, "height": 0, "n_bytes": 0}),
+    ]
+    out = {r["media_ref"]: r for r in compute_media_phashes(
+        spark.createDataFrame(rows, _MS)).collect()}
+    assert out["good"]["decode_ok"] is True
+    assert out["trunc"]["decode_ok"] is False and out["trunc"]["phash"] is None
+    assert out["badpgm"]["decode_ok"] is False and out["badpgm"]["phash"] is None
+
+
+def test_resize_banner_shape_box_filters_the_large_axis():
+    """One-axis-small inputs (a 16×1000 banner) must box-filter the LARGE
+    axis, not point-sample it: on an 8-px-period texture a 1-pixel
+    horizontal shift moves every box-filtered cell by < 3 gray levels,
+    where point-sampling 32 of 1000 columns (the pre-fix behavior for this
+    shape) moved cells by the full ±70 amplitude — aliasing that destroyed
+    the downstream pHash's Hamming locality.  (The hash itself is not
+    asserted here: a constant-vertical banner has near-zero variance in 56
+    of the 64 low-frequency DCT coefficients, so its median-threshold bits
+    are inherently noise-driven for ANY resampler.)"""
+    import numpy as np
+
+    from mediachain_indexer_spark.operators.media import _gray_to_32
+
+    x = np.arange(1001, dtype=np.float64)
+    row = 128 + 100 * np.sin(2 * np.pi * x / 8.0)
+    banner = np.tile(row[:1000], (16, 1))
+    shifted = np.tile(row[1:1001], (16, 1))
+
+    g0, g1 = _gray_to_32(banner), _gray_to_32(shifted)
+    assert g0.shape == g1.shape == (32, 32)
+    d = float(np.abs(g0 - g1).max())
+    assert d < 3.0, f"1-px shift moved a box-filtered cell by {d:.1f} levels"
