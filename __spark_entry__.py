@@ -243,19 +243,11 @@ def _er_eval_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking keys over the seeded corpus — the north-rule acceptance metric
     (target F1 ≥ 0.99), now value-checked by the driver against the pure-SQL
     re-derivation in er_oracle.eval_f1_sql."""
-    import math
-
     from pyspark.sql import Row
 
+    from mediachain_indexer_spark.er_oracle import round_half_away_6 as r6
     from mediachain_indexer_spark.plans.eval import pairwise_f1
     from mediachain_indexer_spark.sources.fixtures import write_corpus
-
-    def r6(x: float) -> float:
-        # half-AWAY-from-zero at 6 places (metrics are ≥ 0), matching
-        # DuckDB's round() in er_oracle.eval_f1_sql — Python's built-in
-        # round() is half-to-even and diverges on exact k.5e-6 ties
-        # (e.g. 1/128: Python 0.007812, DuckDB 0.007813)
-        return math.floor(float(x) * 1e6 + 0.5) / 1e6
 
     paths = write_corpus(os.path.join(_REPO, ".cache", f"fx{_ER_N_DOCS}"), _ER_N_DOCS)
     labels = spark.read.parquet(paths["labeled_pairs"])

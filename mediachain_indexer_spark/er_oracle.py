@@ -39,7 +39,19 @@ of 256) — same convention as the xxh64 small-path guard in catalog.py.
 
 from __future__ import annotations
 
+import math
+
 _D = "::DOUBLE"
+
+
+def round_half_away_6(x: float) -> float:
+    """Quantize a non-negative metric to 6 places rounding half-AWAY-from-
+    zero — DuckDB's round() semantics, which eval_f1_sql relies on.
+    Python's built-in round() is half-to-even and diverges on exact
+    k.5e-6 ties (1/128 → 0.007812 vs DuckDB's 0.007813); every Python-side
+    consumer that compares against the SQL oracle must quantize with THIS
+    function (__spark_entry__._er_eval_f1 does)."""
+    return math.floor(float(x) * 1e6 + 0.5) / 1e6
 
 
 # ---------------------------------------------------------------------------

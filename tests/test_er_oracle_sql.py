@@ -169,4 +169,26 @@ def test_eval_f1_sql_exact_fx500(spark, pipe500, labels500):
         int(m["fn"]),
     )
     for col in ("precision", "recall", "f1"):
-        assert _bits(round(float(m[col]), 6)) == _bits(np.float64(duck[col])), col
+        assert _bits(er_oracle.round_half_away_6(m[col])) == _bits(
+            np.float64(duck[col])
+        ), col
+
+
+def test_round_half_away_6_matches_duckdb_on_ties():
+    """The metric quantizer must follow DuckDB round() (half-away-from-
+    zero), not Python round() (half-to-even): exact k.5e-6 ties — odd
+    multiples of power-of-two denominators like 1/128 — are where the two
+    diverge and where the er_eval_f1 value-hash would silently break."""
+    import duckdb
+
+    ties = [1 / 128, 3 / 128, 33 / 4096, 5 / 64, 1 / 64, 0.0, 1.0, 2 / 3, 0.9999995]
+    got = [er_oracle.round_half_away_6(t) for t in ties]
+    want = [
+        float(duckdb.sql(f"SELECT round({t!r}::DOUBLE, 6)").fetchone()[0])
+        for t in ties
+    ]
+    assert [_bits(np.float64(g)) for g in got] == [
+        _bits(np.float64(w)) for w in want
+    ]
+    # and the documented divergence from Python round() is real
+    assert round(1 / 128, 6) != er_oracle.round_half_away_6(1 / 128)
