@@ -79,6 +79,17 @@ def bench_er(
         _bench_er_once(spark, n_docs, block_storage, minhash_rows)
         for _ in range(max(1, reps))
     ]
+    # adaptive extension: the sandbox host shows episodic multi-ten-second
+    # degradation windows (BENCH/BASELINE.md host-state note) that can
+    # poison most of a fixed rep budget.  When the spread says a window hit
+    # (max/min e2e > 2×), buy up to 3 extra reps — standard
+    # variance-triggered resampling; EVERY rep stays in the recorded arrays
+    es = [r["e2e_wall_sec"] for r in runs]
+    if reps > 1 and max(es) / max(min(es), 1e-9) > 2.0:
+        runs += [
+            _bench_er_once(spark, n_docs, block_storage, minhash_rows)
+            for _ in range(3)
+        ]
     ordered = sorted(runs, key=lambda r: r["e2e_wall_sec"])
     med = dict(ordered[(len(ordered) - 1) // 2])
     med["reps"] = len(runs)

@@ -22,6 +22,21 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = 32
 
 
+def _heap_gb(heap: str) -> float:
+    """Parse a JVM memory spec ('16g', '16384m') to GB for the pretouch
+    heuristic.  Unknown/malformed specs (empty env var, '1,5g', bare 'g')
+    return 0.0 — pretouch stays off and Spark's own config validation
+    reports the bad value with its usual error."""
+    try:
+        if heap and heap[-1] in "gG":
+            return float(heap[:-1])
+        if heap and heap[-1] in "mM":
+            return float(heap[:-1]) / 1024
+    except ValueError:
+        pass
+    return 0.0
+
+
 def get_spark(
     app_name: str = "mediachain-indexer-spark",
     cores: int | None = None,
@@ -83,15 +98,7 @@ def get_spark(
     # eagerly resident heap would add OOM pressure (the 16M-doc probe).
     heap = os.environ.get("SPARK_DRIVER_MEM", "16g")
     pretouch = os.environ.get("SPARK_GRAFT_PRETOUCH", "auto")
-    try:
-        if heap and heap[-1] in "gG":
-            heap_gb = float(heap[:-1])
-        elif heap and heap[-1] in "mM":
-            heap_gb = float(heap[:-1]) / 1024
-        else:
-            heap_gb = 0.0  # unknown spec → let Spark validate; no pretouch
-    except ValueError:
-        heap_gb = 0.0
+    heap_gb = _heap_gb(heap)
     if pretouch == "1" or (pretouch == "auto" and 0 < heap_gb <= 24):
         builder = builder.config(
             "spark.driver.extraJavaOptions", f"-Xms{heap} -XX:+AlwaysPreTouch"

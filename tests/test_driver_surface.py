@@ -82,3 +82,18 @@ def test_entry_registration_window():
                 assert data[withheld].get("hash_match") is True, (
                     f"{withheld} withheld but not hash-green in {ledger}"
                 )
+
+
+def test_heap_gb_parsing_edge_cases():
+    """The pretouch heuristic's memory-spec parser must never crash
+    get_spark: empty env var, bare suffix, comma decimals, and megabyte
+    specs all resolve (unknown -> 0.0 -> pretouch off, Spark validates)."""
+    from mediachain_indexer_spark.session import _heap_gb
+
+    assert _heap_gb("16g") == 16.0
+    assert _heap_gb("16384m") == 16.0
+    assert _heap_gb("60G") == 60.0
+    assert _heap_gb("") == 0.0
+    assert _heap_gb("g") == 0.0
+    assert _heap_gb("1,5g") == 0.0
+    assert _heap_gb("16") == 0.0
