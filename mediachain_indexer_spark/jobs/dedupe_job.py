@@ -5,6 +5,7 @@ Parity: the reference's batch lifecycle is a CLI-invoked reindex+dedupe pass
 spark-submit job:
 
     spark-submit --master <cluster> \
+        --driver-memory 16g \
         --py-files mediachain_indexer_spark.zip \
         mediachain_indexer_spark/jobs/dedupe_job.py \
         --input  /path/spans_documents.parquet \

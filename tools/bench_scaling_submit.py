@@ -59,9 +59,18 @@ def run_once(cores: int, zpath: str, input_path: str, tmp: str, tag: str) -> dic
     shutil.rmtree(sink, ignore_errors=True)
     env = dict(os.environ)
     env["SPARK_GRAFT_SHUFFLE_PARTITIONS"] = str(SHUFFLE)
+    # memory is a SUBMIT-time setting: the driver JVM exists before any
+    # builder config runs, so session.py's spark.driver.memory is a no-op
+    # here — without this flag the job runs on spark-submit's 1 GB default
+    # and dies of GCLocker allocation starvation at 16 cores / 500k docs
+    # (measured 2026-08-17; the crashing JVM's shutdown hook then wipes its
+    # blockmgr dirs, surfacing as secondary "No such file" task failures)
+    mem = os.environ.get("SPARK_DRIVER_MEM", "16g")
     cmd = [
         "spark-submit",
         "--master", f"local[{cores}]",
+        "--driver-memory", mem,
+        "--conf", f"spark.driver.extraJavaOptions=-Xms{mem} -XX:+AlwaysPreTouch",
         "--py-files", zpath,
         os.path.join(REPO, "mediachain_indexer_spark", "jobs", "dedupe_job.py"),
         "--input", input_path,
