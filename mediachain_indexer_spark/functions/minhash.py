@@ -171,20 +171,26 @@ def lsh_band_keys(
     collide on key_b iff their signatures agree on every slot of band b —
     the classic (b, r) S-curve.  Returned as an array for ``explode`` into
     (doc_id, block_key) rows.
+
+    Built as a literal array of ``bands`` UNROLLED expressions (element_at
+    per slot), not ``transform(sequence(...))``: higher-order-function
+    lambdas are evaluated interpreted, outside whole-stage codegen, and the
+    unrolled form is pure codegen — measured at the 100k bench corpus
+    (12×6 banding): block-stage noop 0.80-0.95s → 0.61-0.67s, byte-identical
+    keys (round 6).  The expression count is bands×rows (≤ ~10² for every
+    documented config) — far below the O(num_hashes)-sibling-projection
+    blowup the MinHash HOF variant's docstring warns about.
     """
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.concat(
-            F.lit(f"{prefix}"),
-            b.cast("string"),
-            F.lit(":"),
-            F.xxhash64(
-                F.concat_ws(
-                    "_",
-                    F.slice(signature, b * rows_per_band + 1, rows_per_band).cast(
-                        "array<string>"
-                    ),
-                )
-            ),
-        ),
-    )
+    keys = []
+    for b in range(bands):
+        slots = [
+            F.element_at(signature, b * rows_per_band + i + 1).cast("string")
+            for i in range(rows_per_band)
+        ]
+        keys.append(
+            F.concat(
+                F.lit(f"{prefix}{b}:"),
+                F.xxhash64(F.concat_ws("_", *slots)).cast("string"),
+            )
+        )
+    return F.array(*keys)

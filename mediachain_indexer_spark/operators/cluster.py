@@ -226,18 +226,23 @@ def connected_components(
             print(f"[cc] setup: {_time.monotonic() - _t_enter:.2f}s", flush=True)
 
         # Ground BOTH the plan and the statistics each op.  localCheckpoint
-        # truncates the logical plan (without it the tree size multiplies
-        # per op — SURVEY.md §7.3), but its LogicalRDD INHERITS the child
-        # plan's sizeInBytes estimate, and every join SQUARES that estimate:
-        # the bit-length of the stat doubles per op (measured: 496 → 989 →
-        # 1977 → 3952 → 7902 bits over five ops) until BigInteger stats
-        # math OOMs the driver around op ~25 — a latent bug at high
-        # diameters under the old per-round loop too (max_iter=50 was
-        # unreachable).  A persist() over the checkpointed frame fixes it:
-        # after the count materializes the cache, planning sees the
-        # InMemoryRelation's REAL byte size (measured: flat 11 bits every
-        # op) — which also lets JoinSelection broadcast the per-node minima
-        # when they are genuinely small and shuffle when they are not.
+        # truncates the logical plan — REQUIRED every op, not periodically:
+        # each op's plan references the previous edge frame ~4× (undirected
+        # union + the stats join), so Catalyst's tree-walk cost between
+        # truncations grows 4^k per op and a round-6 experiment that
+        # checkpointed only every 8th op hung the 300-node path-graph test
+        # in analysis before the first truncation (do not retry).  The lazy
+        # LogicalRDD INHERITS the child plan's sizeInBytes estimate, and
+        # every join SQUARES that estimate: the bit-length of the stat
+        # doubles per op (measured: 496 → 989 → 1977 → 3952 → 7902 bits
+        # over five ops) until BigInteger stats math OOMs the driver around
+        # op ~25 — a latent bug at high diameters under the old per-round
+        # loop too (max_iter=50 was unreachable).  A persist() over the
+        # checkpointed frame fixes it: after the count materializes the
+        # cache, planning sees the InMemoryRelation's REAL byte size
+        # (measured: flat 11 bits every op) — which also lets JoinSelection
+        # broadcast the per-node minima when they are genuinely small and
+        # shuffle when they are not.
         def _ground(df: DataFrame) -> DataFrame:
             g = df.localCheckpoint(eager=False).persist()
             _cached.append(g)

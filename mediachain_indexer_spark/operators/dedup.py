@@ -24,7 +24,10 @@ import threading
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from mediachain_indexer_spark.functions.minhash import make_minhash_udf
+from mediachain_indexer_spark.functions.minhash import (
+    lsh_band_keys,
+    make_minhash_udf,
+)
 from mediachain_indexer_spark.functions.text import norm_text, tokens
 
 # frames persisted by the most recent verify-tier call (see ownership note
@@ -112,24 +115,14 @@ def minhash_near_duplicates(
     sig = docs.select(
         "doc_id", mh(norm_text(F.col(text_col))).alias("sig")
     ).where(F.col("sig").isNotNull())
+    # band keys '<b>:<xxhash64 of slice>' via the shared UNROLLED builder
+    # (functions/minhash.lsh_band_keys with an empty family prefix) — byte-
+    # identical to the old inline transform(sequence(...)) form but pure
+    # whole-stage codegen instead of an interpreted HOF lambda (round 6)
     banded = sig.select(
         "doc_id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.concat(
-                    b.cast("string"),
-                    F.lit(":"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            "_",
-                            F.slice(
-                                F.col("sig"), b * rows_per_band + 1, rows_per_band
-                            ).cast("array<string>"),
-                        )
-                    ).cast("string"),
-                ),
-            )
+            lsh_band_keys(F.col("sig"), bands, rows_per_band, prefix="")
         ).alias("band_key"),
     )
     a = banded.select("band_key", F.col("doc_id").alias("doc_a"))

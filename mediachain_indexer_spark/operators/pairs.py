@@ -26,10 +26,25 @@ Scale design (BASELINE.json north_star, verbatim requirements):
 
 from __future__ import annotations
 
+import threading
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+# the staged (capped) block table backing the most recent candidate_pairs
+# call stays cached until the NEXT call — same last-call-registry contract as
+# cluster._CC_FINAL_CACHES: the caller materializes the returned pairs frame
+# (which reads the cache) before issuing another call, and a later call
+# releases the previous frame so repeated pipeline runs hold O(1) staged
+# caches.  The cache (not a localCheckpoint) is the round-6 change: an
+# InMemoryRelation PRESERVES the cap window's hashpartitioning(block_key)
+# and (block_key, xxhash64, doc_id) sort order, so the small-block self-join
+# runs as a zero-exchange zero-sort SortMergeJoin over the cache, where the
+# checkpoint's UnknownPartitioning forced the planner to broadcast-build a
+# ~1M-row hash relation per run (measured: see OPTIMIZATION_r06.md).
+_STAGED_LOCK = threading.Lock()
+_STAGED_CACHES: list[DataFrame] = []
 
 
 @dataclass(frozen=True)
@@ -53,13 +68,17 @@ class PairsConfig:
     #     ledger no longer contains every within-group pair (documented
     #     difference; tests/test_blocking_pairs.py proves cluster equality).
     exact_strategy: str = "clique"
-    # materialize the capped/sized block table once (lazy localCheckpoint)
-    # before fanning into the small/salted join branches.  The staged
-    # subtree feeds FOUR join inputs (left/right × plain/salted) and
-    # Spark's exchange reuse does NOT fire across them (verified on the
-    # executed plan: 4 full recomputations of scan→MinHash→window, zero
-    # ReusedExchange) — measured 9.4s → 5.3s for the pairs stage at the
-    # 100k bench.  Same lazy-localCheckpoint idiom as the CC loop.
+    # materialize the capped/sized block table once before fanning into the
+    # small/salted join branches.  The staged subtree feeds FOUR join inputs
+    # (left/right × plain/salted) and Spark's exchange reuse does NOT fire
+    # across them (verified on the executed plan: 4 full recomputations of
+    # scan→MinHash→window, zero ReusedExchange) — measured 9.4s → 5.3s for
+    # the pairs stage at the 100k bench.  Since round 6 the materialization
+    # is a persist() (last-call registry, see _STAGED_CACHES) rather than a
+    # lazy localCheckpoint: the cache preserves the cap window's
+    # partitioning + sort so the self-join needs no exchange, no sort and no
+    # broadcast build (the checkpoint RDD's UnknownPartitioning made the
+    # planner broadcast the ~1M-row small side every run).
     materialize_staged: bool = True
 
 
@@ -89,16 +108,28 @@ def cap_blocks(blocks: DataFrame, max_block_size: int) -> DataFrame:
     TWO spilling SMJ sorts + an extra exchange replacing one in-memory
     window sort that never actually spilled).  The window formulation
     stays; BENCH/BASELINE.md Study E carries the numbers.
+
+    Round 6 sharpening of that shape: the rank key xxhash64(doc_id) is
+    projected ONCE (``_rk``) and the size count runs over the SAME ordered
+    window spec with an unbounded frame, so the two window expressions get
+    identical (partition, order) specs, CollapseWindow merges them into ONE
+    WindowExec and EnsureRequirements plans ONE sort — previously the two
+    xxhash64 instances had distinct expression ids, which forced two Window
+    operators and two in-partition sorts of the full block table (plan +
+    A/B: plans/r06/er_pairs_{before,after}.txt, row-identical at every cap).
+    Count-over-ordered-full-frame ≡ count-over-unordered: same value per
+    row.
     """
-    w = Window.partitionBy("block_key")
-    w_rank = w.orderBy(F.xxhash64("doc_id"), F.col("doc_id"))
+    w = Window.partitionBy("block_key").orderBy(F.col("_rk"), F.col("doc_id"))
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return (
-        blocks.withColumn("bsize", F.count("*").over(w))
-        .withColumn("brank", F.row_number().over(w_rank))
+        blocks.withColumn("_rk", F.xxhash64("doc_id"))
+        .withColumn("bsize", F.count("*").over(w_full))
+        .withColumn("brank", F.row_number().over(w))
         .where((F.col("bsize") >= 2) & (F.col("brank") <= max_block_size))
         # recompute size after the cap so routing below sees capped sizes
         .withColumn("bsize", F.least(F.col("bsize"), F.lit(max_block_size)))
-        .drop("brank")
+        .drop("brank", "_rk")
     )
 
 
@@ -231,8 +262,23 @@ def candidate_pairs(blocks: DataFrame, cfg: PairsConfig = PairsConfig()) -> Data
         blocks = blocks.where(~F.col("block_key").startswith("e:"))
     staged = _with_block_stats(blocks, cfg)
     if cfg.materialize_staged:
-        staged = staged.localCheckpoint(eager=False)
+        staged = staged.persist()
+        with _STAGED_LOCK:
+            for _old in _STAGED_CACHES:
+                _old.unpersist()
+            _STAGED_CACHES.clear()
+            _STAGED_CACHES.append(staged)
     small = staged.where(F.col("bsize") <= cfg.salt_threshold).select(*cols)
+    if cfg.materialize_staged:
+        # pin the self-join strategy to sort-merge: the cached staged table
+        # is already hash-partitioned AND sorted by block_key (cap window),
+        # so this SMJ has zero exchanges and zero sorts — strictly cheaper
+        # than the planner's stats-driven pick, a broadcast hash join that
+        # collects and hash-builds the ~1M-row capped table every run
+        # (measured at the 100k bench: see OPTIMIZATION_r06.md).  Without
+        # materialization the window subtree recomputes per input and the
+        # planner's choice is left alone.
+        small = small.hint("merge")
     big = staged.where(F.col("bsize") > cfg.salt_threshold).select(*cols)
     pairs = _plain_pairs(small, with_exact).unionByName(
         _salted_pairs(big, cfg, with_exact)

@@ -141,11 +141,20 @@ def score_pairs(
     )
 
     # token-order-insensitive channel: Levenshtein on token-sorted text
-    # (catches "artist — title" vs "title — artist" renditions; pure JVM)
+    # (catches "artist — title" vs "title — artist" renditions; pure JVM).
+    # The sort expressions are PROJECTED ONCE as real columns (_sa/_sb)
+    # rather than inlined: array_sort's comparator lambda gets fresh
+    # variable ids at every inlining site, so Catalyst's subexpression
+    # elimination cannot dedup them and the interpreted split+array_sort+
+    # concat_ws chain ran up to ~12× per row inside the lev_sim_sorted CASE
+    # (seen in the round-6 before-plan).  Equal-text rows short-circuit to
+    # '' — their branch of the CASE never reads the sorted text.
     def _tok_sorted(c: str) -> "F.Column":
-        return F.concat_ws(" ", F.array_sort(F.split(F.col(c), " ")))
+        return F.when(eq_text, F.lit("")).otherwise(
+            F.concat_ws(" ", F.array_sort(F.split(F.col(c), " ")))
+        )
 
-    sa, sb = _tok_sorted("text_a"), _tok_sorted("text_b")
+    sa, sb = F.col("_sa"), F.col("_sb")
     smax_len = F.greatest(F.length(sa), F.length(sb))
     slen_gap = F.abs(F.length(sa) - F.length(sb))
     sorted_ub = F.when(smax_len == 0, F.lit(1.0)).otherwise(
@@ -166,6 +175,8 @@ def score_pairs(
         df.withColumn(
             "min_hamming", min_hamming(F.col("phashes_a"), F.col("phashes_b"))
         )
+        .withColumn("_sa", _tok_sorted("text_a"))
+        .withColumn("_sb", _tok_sorted("text_b"))
         .withColumn("lev_sim", lev_sim)
         .withColumn("lev_sim_sorted", lev_sim_sorted)
         # cascade: JW computed only where it can flip the decision (null

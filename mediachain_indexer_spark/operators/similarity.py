@@ -163,21 +163,23 @@ def train_ivf_centroids(
     """Spherical k-means centroids from a deterministic corpus sample.
 
     IVF training is sample-based by construction (FAISS trains on ~max(256,
-    39×n_centroids) points, not the corpus): the sample is taken with a
-    stable hash filter (xxhash64(id) — no full sort, prunes at the scan),
-    collected (it is the broadcast-small side), and Lloyd-iterated in numpy
-    on the driver.  Returns an (n_centroids, dim) float64 matrix.
+    39×n_centroids) points, not the corpus): the sample is the bottom-k of
+    xxhash64(id) — a deterministic uniform pseudo-random sample computed as
+    ONE TakeOrderedAndProject job (per-partition top-k, driver merge; no
+    full sort shuffle), collected (it is the broadcast-small side), and
+    Lloyd-iterated in numpy on the driver.  Returns an (n_centroids, dim)
+    float64 matrix.  (Round 6: previously a count() job sized a residue-
+    class filter before a second collect job — the bottom-k form is the
+    same uniform-sample idea with half the jobs, and the downstream
+    exhaustive-probe results are centroid-invariant by construction.)
     """
     import numpy as np
 
-    # stable pseudo-random sample: keep ids whose hash falls in a residue
-    # class sized to overshoot sample_size, then cap
-    n_total = vectors.count()
-    keep_mod = max(int(n_total // max(sample_size, 1)), 1)
     sample = (
-        vectors.where(F.pmod(F.xxhash64(F.col(id_col)), F.lit(keep_mod)) == 0)
-        .select(vec_col)
+        vectors.select(vec_col, F.xxhash64(F.col(id_col)).alias("_h"))
+        .orderBy("_h")
         .limit(sample_size)
+        .select(vec_col)
         .collect()
     )
     X = np.asarray([list(r[0]) for r in sample], dtype=np.float64)
