@@ -1,0 +1,139 @@
+"""Round-6 optimization equivalence + plan-shape gates.
+
+Each round-6 plan change keeps the operator's OUTPUT bit-identical while
+changing the physical plan; these tests pin both sides:
+
+- ``cap_blocks``: single fused WindowExec (one in-partition sort), rows
+  identical to the reference two-window formulation at every cap — incl.
+  over-cap blocks where the xxhash64-rank sample must not drift;
+- ``candidate_pairs``: the materialized staged cache keeps the cap
+  window's partitioning, so the small-block self-join must plan as a
+  SortMergeJoin over the cache — never a broadcast hash build of the
+  staged table (the round-5 shape);
+- ``lsh_band_keys``: the unrolled codegen form is byte-identical to the
+  interpreted ``transform(sequence(...))`` reference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from mediachain_indexer_spark.functions.minhash import lsh_band_keys
+from mediachain_indexer_spark.operators.pairs import (
+    PairsConfig,
+    candidate_pairs,
+    cap_blocks,
+)
+
+
+def _executed(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _block_fixture(spark):
+    """Synthetic block table with singletons, small blocks and one over-cap
+    block (30 members > cap 8) so the rank-sample path is exercised."""
+    rows = []
+    for i in range(30):
+        rows.append(("big", f"d{i:03d}", i % 7))
+    for b in range(40):
+        rows.append((f"s{b}", f"d{b:03d}", b))
+        rows.append((f"s{b}", f"d{b + 100:03d}", b))
+    for b in range(25):
+        rows.append((f"lone{b}", f"d{b:03d}", None))
+    return spark.createDataFrame(
+        rows, "block_key string, doc_id string, exact_hash long"
+    )
+
+
+def _cap_reference(blocks, max_block_size):
+    """The pre-round-6 two-window formulation (count window unordered,
+    rank window ordered) — the behavior oracle for cap_blocks."""
+    w = Window.partitionBy("block_key")
+    w_rank = w.orderBy(F.xxhash64("doc_id"), F.col("doc_id"))
+    return (
+        blocks.withColumn("bsize", F.count("*").over(w))
+        .withColumn("brank", F.row_number().over(w_rank))
+        .where((F.col("bsize") >= 2) & (F.col("brank") <= max_block_size))
+        .withColumn("bsize", F.least(F.col("bsize"), F.lit(max_block_size)))
+        .drop("brank")
+    )
+
+
+def test_cap_blocks_rows_identical_to_reference(spark):
+    blocks = _block_fixture(spark)
+    for cap in (2, 8, 256):
+        cur = cap_blocks(blocks, cap)
+        ref = _cap_reference(blocks, cap)
+        assert cur.exceptAll(ref).count() == 0, f"cap={cap}: extra rows"
+        assert ref.exceptAll(cur).count() == 0, f"cap={cap}: missing rows"
+
+
+def test_cap_blocks_single_window_single_sort(spark):
+    """The projected _rk key gives both window expressions one spec, so
+    CollapseWindow must merge them: exactly one Window operator and one
+    in-partition Sort below it (two of each = the round-5 regression)."""
+    plan = _executed(cap_blocks(_block_fixture(spark), 8))
+    assert plan.count("Window ") == 1, plan
+    assert plan.count("+- Sort ") == 1, plan
+
+
+def test_candidate_pairs_self_join_is_smj_over_cache(spark):
+    """With the staged table materialized (persist), the small-block
+    self-join must be a SortMergeJoin reading the cache — no broadcast
+    build of the ~corpus-sized staged table, no extra exchange between the
+    cache and the join."""
+    blocks = _block_fixture(spark)
+    pairs = candidate_pairs(blocks, PairsConfig(salt_threshold=32))
+    pairs.count()  # materialize so the final AQE plan exists
+    plan = _executed(pairs)
+    assert "SortMergeJoin" in plan, plan
+    # the only broadcast hash joins allowed are the tiny salt-grid attach
+    # joins (keys salt/g1/g2) — a block_key-keyed BHJ means the staged
+    # table itself is being broadcast again
+    for line in plan.splitlines():
+        if "BroadcastHashJoin" in line and "block_key" in line:
+            raise AssertionError(f"staged table broadcast crept back: {line}")
+
+
+def test_candidate_pairs_rows_unchanged_on_overcap_fixture(spark):
+    """Same distinct pair set as an unmaterialized (checkpoint-free) run —
+    the materialization/hint must never change results."""
+    blocks = _block_fixture(spark)
+    a = candidate_pairs(blocks, PairsConfig())
+    b = candidate_pairs(blocks, PairsConfig(materialize_staged=False))
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
+def test_lsh_band_keys_match_transform_reference(spark):
+    """Unrolled band keys ≡ the interpreted transform(sequence) form."""
+    bands, rows_per_band = 4, 3
+    sig_df = spark.createDataFrame(
+        [([i * 7 + j for j in range(bands * rows_per_band)],) for i in range(50)],
+        "sig array<long>",
+    )
+
+    ref = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.concat(
+            F.lit("t"),
+            b.cast("string"),
+            F.lit(":"),
+            F.xxhash64(
+                F.concat_ws(
+                    "_",
+                    F.slice(
+                        F.col("sig"), b * rows_per_band + 1, rows_per_band
+                    ).cast("array<string>"),
+                )
+            ),
+        ),
+    )
+    out = sig_df.select(
+        lsh_band_keys(F.col("sig"), bands, rows_per_band).alias("new"),
+        ref.alias("ref"),
+    ).collect()
+    for r in out:
+        assert r["new"] == r["ref"]
