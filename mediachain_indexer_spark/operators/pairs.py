@@ -50,7 +50,20 @@ _STAGED_CACHES: list[DataFrame] = []
 @dataclass(frozen=True)
 class PairsConfig:
     max_block_size: int = 256
-    salt_threshold: int = 32
+    # Blocks larger than this route through the salted triangle
+    # decomposition.  ``None`` (default since round 6) means "=
+    # max_block_size", i.e. salting OFF at the default cap: cap_blocks runs
+    # FIRST, so post-cap membership is ≤ max_block_size and one block's
+    # pair work is bounded by cap²/2 (256 → ≤ 32.8k pairs — a trivial task
+    # on any hardware), which makes salting blocks inside the cap pure
+    # overhead by construction, independent of core count or cluster size
+    # (measured at the 100k bench: the dead salted subtree still cost two
+    # cache scans + grid joins + an SMJ + union, pairs stage 2.2-3.9 s →
+    # 1.7-2.0 s with it off; pair set identical).  Callers that RAISE the
+    # cap past the point where cap²/2 pairs stops being a healthy task
+    # (~10³ members ⇒ ~10⁶ pairs) should set an explicit threshold — the
+    # machinery and its equivalence tests stay (tests/test_blocking_pairs).
+    salt_threshold: int | None = None
     n_salts: int = 8
     # How exact-text (e:) blocks turn into pairs:
     #   "clique" (default) — every member pair, capped/salted like any other
@@ -268,7 +281,21 @@ def candidate_pairs(blocks: DataFrame, cfg: PairsConfig = PairsConfig()) -> Data
                 _old.unpersist()
             _STAGED_CACHES.clear()
             _STAGED_CACHES.append(staged)
-    small = staged.where(F.col("bsize") <= cfg.salt_threshold).select(*cols)
+    # None → "= cap": post-cap block size never exceeds max_block_size, so
+    # the salted branch is provably empty — elide the whole subtree (and
+    # the routing filter) instead of planning dead scans/joins over it
+    # (see PairsConfig.salt_threshold)
+    thr = (
+        cfg.salt_threshold
+        if cfg.salt_threshold is not None
+        else cfg.max_block_size
+    )
+    if thr >= cfg.max_block_size:
+        small = staged.select(*cols)
+        big = None
+    else:
+        small = staged.where(F.col("bsize") <= thr).select(*cols)
+        big = staged.where(F.col("bsize") > thr).select(*cols)
     if cfg.materialize_staged:
         # pin the self-join strategy to sort-merge: the cached staged table
         # is already hash-partitioned AND sorted by block_key (cap window),
@@ -279,10 +306,9 @@ def candidate_pairs(blocks: DataFrame, cfg: PairsConfig = PairsConfig()) -> Data
         # materialization the window subtree recomputes per input and the
         # planner's choice is left alone.
         small = small.hint("merge")
-    big = staged.where(F.col("bsize") > cfg.salt_threshold).select(*cols)
-    pairs = _plain_pairs(small, with_exact).unionByName(
-        _salted_pairs(big, cfg, with_exact)
-    )
+    pairs = _plain_pairs(small, with_exact)
+    if big is not None:
+        pairs = pairs.unionByName(_salted_pairs(big, cfg, with_exact))
     if star is not None:
         pairs = pairs.unionByName(star)
     return pairs.dropDuplicates(["doc_a", "doc_b"])
