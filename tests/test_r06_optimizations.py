@@ -107,6 +107,54 @@ def test_candidate_pairs_rows_unchanged_on_overcap_fixture(spark):
     assert b.exceptAll(a).count() == 0
 
 
+def test_minhash_kernel_matches_dense_reference(spark):
+    """The round-6 compact+reduceat MinHash kernel must be bit-identical
+    to the pre-round-6 dense formulation (per-permutation np.where
+    sentinel fill over the padded matrix), including null/empty/short
+    texts (single-shingle path) and the None signature contract."""
+    import numpy as np
+    import pandas as pd
+
+    from mediachain_indexer_spark.functions.minhash import (
+        MERSENNE_P,
+        _coefficients,
+        _shingle_hashes,
+        make_minhash_udf,
+    )
+
+    num_hashes, n, seed = 12, 3, 42
+    texts = pd.Series(
+        ["abcdefgh", "", None, "ab", "a", "xyzzy plugh", "abcdefgh", "ab c"]
+        + [f"doc {i} body text" for i in range(50)]
+    )
+
+    # dense reference (the pre-round-6 kernel, inlined)
+    a_np = np.array(_coefficients(num_hashes, seed)[0], dtype=np.uint64)
+    b_np = np.array(_coefficients(num_hashes, seed)[1], dtype=np.uint64)
+    p = np.uint64(MERSENNE_P)
+    h, valid = _shingle_hashes(texts, n)
+    hm = h % p
+    sentinel = np.uint64(1 << 62)
+    ref = np.empty((len(texts), num_hashes), dtype=np.int64)
+    for j in range(num_hashes):
+        pj = (a_np[j] * hm + b_np[j]) % p
+        pj = np.where(valid, pj, sentinel)
+        ref[:, j] = pj.min(axis=1).astype(np.int64)
+    empty = ~valid.any(axis=1)
+
+    # current kernel through the real Spark surface
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, t string"
+    )
+    udf = make_minhash_udf(num_hashes, n, seed)
+    got = {r["i"]: r["sig"] for r in df.select("i", udf("t").alias("sig")).collect()}
+    for i in range(len(texts)):
+        if empty[i]:
+            assert got[i] is None, f"row {i}: expected null signature"
+        else:
+            assert got[i] == ref[i].tolist(), f"row {i}: signature drift"
+
+
 def test_lsh_band_keys_match_transform_reference(spark):
     """Unrolled band keys ≡ the interpreted transform(sequence) form."""
     bands, rows_per_band = 4, 3
