@@ -147,23 +147,51 @@ def score_pairs(
     # variable ids at every inlining site, so Catalyst's subexpression
     # elimination cannot dedup them and the interpreted split+array_sort+
     # concat_ws chain ran up to ~12× per row inside the lev_sim_sorted CASE
-    # (seen in the round-6 before-plan).  Equal-text rows short-circuit to
-    # '' — their branch of the CASE never reads the sorted text.
+    # (seen in the round-6 before-plan).
+    #
+    # Two bit-identity facts let the cascade skip work around that sort:
+    #
+    # (a) the token sort is LENGTH-PRESERVING — norm_text is whitespace-
+    #     normalized (single spaces, trimmed; normalize.py), so
+    #     split→array_sort→concat_ws(" ") permutes bytes without changing
+    #     the length (verified corpus-wide: 0 mismatches / 100k docs).  The
+    #     sorted-channel length bound (smax/sgap/ub) is therefore computed
+    #     from the RAW text lengths, BEFORE any sort runs — so the DP-need
+    #     predicate (in_radius | ub ≥ τ) can gate the sort itself, and rows
+    #     that take the ub branch (junk: far media AND dissimilar lengths —
+    #     53,201/397,175 bench pairs) never evaluate the interpreted sort
+    #     HOF at all (_sa/_sb short-circuit to '').
+    # (b) sorted-EQUAL pairs need no DP: token-reorder duplicates
+    #     (79,085/397,175 bench pairs have text_a != text_b but equal
+    #     token-sorted text) would run the O(m·n) DP just to compute
+    #     distance 0 — a memcmp (sa == sb) replaces it with literal 1.0,
+    #     which is also what the DP branch (1 - 0/smax) and the ub branch
+    #     (gap 0 ⇒ ub = 1.0) would emit.  The sorted-equal/ub-branch
+    #     overlap is empty by construction: sa == sb ⇒ ub = 1.0 ≥ τ ⇒ the
+    #     DP-need predicate is true — so hoisting the memcmp inside the
+    #     need branch loses nothing.
+    #
+    # Emitted values are bit-identical in every branch (er_matches /
+    # er_matches_grouped oracle hash-match; decision-invariance suite).
+    smax_len = F.greatest(F.length("text_a"), F.length("text_b"))
+    slen_gap = F.abs(F.length("text_a") - F.length("text_b"))
+    sorted_ub = F.when(smax_len == 0, F.lit(1.0)).otherwise(
+        1.0 - slen_gap / smax_len
+    )
+    need_sorted_dp = in_radius | (sorted_ub >= cfg.text_only_threshold)
+
     def _tok_sorted(c: str) -> "F.Column":
-        return F.when(eq_text, F.lit("")).otherwise(
+        return F.when(eq_text | ~need_sorted_dp, F.lit("")).otherwise(
             F.concat_ws(" ", F.array_sort(F.split(F.col(c), " ")))
         )
 
     sa, sb = F.col("_sa"), F.col("_sb")
-    smax_len = F.greatest(F.length(sa), F.length(sb))
-    slen_gap = F.abs(F.length(sa) - F.length(sb))
-    sorted_ub = F.when(smax_len == 0, F.lit(1.0)).otherwise(
-        1.0 - slen_gap / smax_len
-    )
     lev_sim_sorted = F.when(eq_text | (smax_len == 0), F.lit(1.0)).otherwise(
         F.when(
-            in_radius | (sorted_ub >= cfg.text_only_threshold),
-            1.0 - F.levenshtein(sa, sb) / smax_len,
+            need_sorted_dp,
+            F.when(sa == sb, F.lit(1.0)).otherwise(
+                1.0 - F.levenshtein(sa, sb) / smax_len
+            ),
         ).otherwise(sorted_ub)
     )
 

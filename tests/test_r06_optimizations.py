@@ -155,6 +155,79 @@ def test_minhash_kernel_matches_dense_reference(spark):
             assert got[i] == ref[i].tolist(), f"row {i}: signature drift"
 
 
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[len(b)]
+
+
+def test_score_cascade_sorted_channel_matches_ungated_reference(spark):
+    """The round-6 sorted-channel gating (raw-length ub computed before the
+    sort, junk rows skipping the sort HOF, sorted-equal rows skipping the
+    DP) must emit exactly the ungated formulation's values on every branch
+    class: equal text, token reorder (sorted-equal), in-radius unequal,
+    junk (far media + dissimilar lengths), and empty/missing-media rows."""
+    from mediachain_indexer_spark.operators.scoring import (
+        HAMMING_FAR,
+        ScoringConfig,
+        score_pairs,
+    )
+
+    cfg = ScoringConfig()
+    near, far = [1], [1022]  # hamming(1, 1022) = popcount(1023) = 10 > radius 8
+    feats_rows = [
+        ("a1", "hello world", near),
+        ("a2", "hello world", near),          # equal text
+        ("b1", "world hello", near),          # token reorder of a1
+        ("c1", "hello wurld", near),          # in-radius, unequal sorted
+        ("d1", "x", far),                     # junk vs a1: far media + gap
+        ("e1", "", near),                     # empty text
+        ("f1", "hello world extra", None),    # no media → HAMMING_FAR
+    ]
+    feats = spark.createDataFrame(
+        feats_rows, "doc_id string, norm_text string, phashes array<long>"
+    )
+    pair_rows = [
+        ("a1", "a2"), ("a1", "b1"), ("a1", "c1"), ("a1", "d1"),
+        ("a1", "e1"), ("a1", "f1"), ("d1", "e1"),
+    ]
+    pairs = spark.createDataFrame(pair_rows, "doc_a string, doc_b string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in score_pairs(pairs, feats).collect()
+    }
+    texts = {d: t for d, t, _ in feats_rows}
+    hashes = {d: p for d, _, p in feats_rows}
+    assert len(got) == len(pair_rows)
+    for da, db in pair_rows:
+        ta, tb = texts[da], texts[db]
+        pa, pb = hashes[da], hashes[db]
+        if pa and pb:
+            mh = min(bin(x ^ y).count("1") for x in pa for y in pb)
+        else:
+            mh = HAMMING_FAR
+        sa = " ".join(sorted(ta.split(" ")))
+        sb = " ".join(sorted(tb.split(" ")))
+        smax = max(len(sa), len(sb))
+        if ta == tb or smax == 0:
+            exp = 1.0
+        elif mh <= cfg.hamming_radius or (
+            1.0 - abs(len(sa) - len(sb)) / smax >= cfg.text_only_threshold
+        ):
+            exp = 1.0 - _lev(sa, sb) / smax
+        else:
+            exp = 1.0 - abs(len(sa) - len(sb)) / smax
+        row = got[(da, db)]
+        assert row["min_hamming"] == mh, (da, db, row)
+        assert row["lev_sim_sorted"] == exp, (da, db, exp, row)
+
+
 def test_lsh_band_keys_match_transform_reference(spark):
     """Unrolled band keys ≡ the interpreted transform(sequence) form."""
     bands, rows_per_band = 4, 3
